@@ -1,0 +1,362 @@
+"""The driver-contract query inventory: one named query per implemented
+operator from SURVEY.md §2, each returning a DataFrame over the driver's
+parquet test tables, with a matching DuckDB oracle SQL string.
+
+Conventions (driver compare = row-count + schema + order-insensitive
+value-hash): every computed column is aliased IDENTICALLY in the Spark plan
+and the oracle SQL; float aggregates are rounded to a fixed scale so both
+engines hash the same values; result sets are kept deterministic (explicit
+ORDER BY only matters for LIMIT queries — the compare is order-insensitive).
+
+Scale notes are attached per query: what the plan does at 100 TB (broadcast
+vs shuffle, pushdown, partial aggregation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from louis_crawler_legacy_spark.sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Registry filled by the @query decorator.
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# J1 — the canonical left-anti work queue: rows without a matching embedding
+# (reference db.py:686-703 fetch_chunk_id_without_embedding).
+# Scale: anti-join shuffles on the key; at 100 TB the embeddings side is the
+# smaller one → AQE converts to broadcast when it fits, else SMJ with both
+# sides hash-partitioned on the key. Column pruning keeps the scan at 2 cols.
+@query(
+    "j1_anti_join_missing_embeddings",
+    """
+    SELECT d.doc_id, d.lang
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE e.vec_id IS NULL
+    """,
+)
+def j1_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id, "left_anti").select("doc_id", "lang")
+
+
+# J2-style seen-set dedup as a relational query: keys on the left absent from
+# the right (customers that never ordered).
+@query(
+    "j2_left_anti_seen",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_custkey IS NULL
+    """,
+)
+def j2_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# J3 — point/batch lookup join (reference db.py:620-631): broadcast the small
+# dimension explicitly — at 100 TB the orders fact never moves.
+@query(
+    "j3_broadcast_dim_join",
+    """
+    SELECT n.n_name, count(*) AS order_cnt,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j3_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# A1/A4 — predicate-count aggregate (reference count_pdf_links_in_texts.py):
+# single pass, partial agg map-side, no shuffle beyond 1-row exchange.
+@query(
+    "a4_pred_count",
+    """
+    SELECT count(*) AS total,
+           sum(CASE WHEN regexp_matches(text, 'data') THEN 1 ELSE 0 END) AS n_match
+    FROM documents
+    """,
+)
+def a4_pred_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("text").rlike("data"), 1).otherwise(0)).alias("n_match"),
+    )
+
+
+# A2 — duplicate counter (count_duplicate_lines.py:4-9): hash aggregate,
+# map-side partial combine collapses duplicates before the shuffle.
+@query(
+    "a2_duplicate_texts",
+    """
+    SELECT text, count(*) AS cnt FROM documents
+    GROUP BY text HAVING count(*) > 1
+    """,
+)
+def a2_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+
+
+# A3 — histogram (count_extensions.py): groupBy + count.
+@query(
+    "a3_type_histogram",
+    "SELECT p_type, count(*) AS cnt FROM part GROUP BY p_type",
+)
+def a3_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_type").agg(F.count("*").alias("cnt"))
+
+
+# A5 — per-task log aggregation (log_analyzer.py:46-100): min/max/count per
+# group. Partial aggregation makes this shuffle O(groups), not O(rows).
+@query(
+    "a5_per_user_session",
+    """
+    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def a5_log_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# A6 — global run stats (log_analyzer.py:161-182).
+@query(
+    "a6_global_stats",
+    """
+    SELECT count(*) AS n, round(avg(value), 4) AS avg_value,
+           round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+    FROM events
+    """,
+)
+def a6_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+# A7-style round metrics: status-bucket counts (goldie_playwright_parallel
+# 826-857) — expressed over events.event_type.
+@query(
+    "a7_round_metrics",
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def a7_round_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+# TPC-H Q1 shape — the heavy scan+agg the bench leans on. Pushdown check:
+# the parquet scan must read only the 7 referenced columns.
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# O3 — recency top-k (db.py:224, storage_manager.py:57-62): TakeOrdered —
+# no global sort at scale, each partition keeps k, driver merges.
+@query(
+    "o3_topk_recent",
+    "SELECT event_id, ts FROM events ORDER BY ts DESC, event_id LIMIT 10",
+)
+def o3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.orderBy(F.desc("ts"), F.asc("event_id")).select("event_id", "ts").limit(10)
+
+
+# O4 — queue ordering by created_at (db.py:701).
+@query(
+    "o4_queue_order",
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars, doc_id LIMIT 50",
+)
+def o4_queue_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.orderBy("n_chars", "doc_id").select("doc_id", "n_chars").limit(50)
+
+
+# O5 — per-host politeness budget as a relational op: rank within host
+# (window) and cap. Scale: single shuffle on the partition key; the window
+# never materializes more than one host's rows per task.
+@query(
+    "o5_per_key_budget",
+    """
+    SELECT user_id, event_id, rn FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def o5_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+# A9 — order-preserving first-occurrence dedup (goldie.py:29-35) as a
+# relational op: row_number over discovery order == 1.
+@query(
+    "a9_first_occurrence_dedup",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def a9_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+# F4/F5 — substring/ilike filters (pruner.py:24-47, storage_manager.py:107-112).
+@query(
+    "f5_ilike_search",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE lower(p_name) LIKE '%gre%' OR lower(p_brand) LIKE '%gre%'
+    """,
+)
+def f5_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    q = "gre"
+    return p.filter(
+        F.lower(F.col("p_name")).contains(q) | F.lower(F.col("p_brand")).contains(q)
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "f4_substring_prune",
+    "SELECT doc_id, lang FROM documents WHERE lang = 'en' AND text LIKE '%scan%'",
+)
+def f4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.filter((F.col("lang") == "en") & F.col("text").contains("scan")).select(
+        "doc_id", "lang"
+    )
+
+
+# U2/U3 — set ops: union-distinct of two selections (README_depth_control
+# cat|sort|uniq) and except.
+@query(
+    "u3_union_distinct",
+    """
+    SELECT DISTINCT user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id FROM events WHERE value > 50
+    )
+    """,
+)
+def u3_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("value") > 50).select("user_id")
+    return a.union(b).distinct()
+
+
+@query(
+    "u2_except",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def u2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "view").select("user_id")
+    b = e.filter(F.col("event_type") == "click").select("user_id")
+    return a.subtract(b)  # EXCEPT (distinct) semantics

@@ -21,15 +21,21 @@ from louis_crawler_legacy_spark.sources.testdata import load_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the J1 work-queue anti-join (reference db.py:686-703) —
-    documents lacking embeddings, counted per lang — on sf0.001."""
+    """Flagship: embedding-coverage report per lang — the J1 work-queue
+    join (reference db.py:686-703) folded into a per-lang aggregate."""
     sf_dir = "/root/testdata/sf0.001"
     d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.lit(1).alias("has_emb")
+    )
     return (
-        d.join(e, d.doc_id == e.vec_id, "left_anti")
+        d.join(e, d.doc_id == e.vec_id, "left")
         .groupBy("lang")
-        .agg(F.count("*").alias("missing_cnt"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("has_emb"), F.lit(0))).alias("n_embedded"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
         .orderBy("lang")
     )
 

@@ -66,8 +66,8 @@ def ddb():
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
-    assert df.columns == ["lang", "missing_cnt"]
+    assert len(rows) > 0
+    assert df.columns == ["lang", "n_docs", "n_embedded", "avg_chars"]
 
 
 def _query_names():

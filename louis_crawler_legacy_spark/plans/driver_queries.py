@@ -53,13 +53,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "j1_anti_join_missing_embeddings",
     """
     SELECT d.doc_id, d.lang
-    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    FROM documents d
+    LEFT JOIN (SELECT * FROM embeddings WHERE label = 0) e ON d.doc_id = e.vec_id
     WHERE e.vec_id IS NULL
     """,
 )
 def j1_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("label") == 0)
     return d.join(e, d.doc_id == e.vec_id, "left_anti").select("doc_id", "lang")
 
 
@@ -69,13 +70,15 @@ def j1_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j2_left_anti_seen",
     """
     SELECT c.c_custkey, c.c_mktsegment
-    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON c.c_custkey = o.o_custkey
     WHERE o.o_custkey IS NULL
     """,
 )
 def j2_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
@@ -132,13 +135,18 @@ def a4_pred_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a2_duplicate_texts",
     """
-    SELECT text, count(*) AS cnt FROM documents
-    GROUP BY text HAVING count(*) > 1
+    SELECT substr(text, 1, 20) AS prefix, count(*) AS cnt FROM documents
+    GROUP BY substr(text, 1, 20) HAVING count(*) > 1
     """,
 )
 def a2_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    return (
+        d.select(F.substring("text", 1, 20).alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
 
 
 # A3 — histogram (count_extensions.py): groupBy + count.
@@ -306,12 +314,12 @@ def a9_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f5_ilike_search",
     """
     SELECT p_partkey, p_name FROM part
-    WHERE lower(p_name) LIKE '%gre%' OR lower(p_brand) LIKE '%gre%'
+    WHERE lower(p_name) LIKE '%red%' OR lower(p_brand) LIKE '%red%'
     """,
 )
 def f5_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
-    q = "gre"
+    q = "red"
     return p.filter(
         F.lower(F.col("p_name")).contains(q) | F.lower(F.col("p_brand")).contains(q)
     ).select("p_partkey", "p_name")
@@ -350,13 +358,57 @@ def u3_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "u2_except",
     """
-    SELECT user_id FROM events WHERE event_type = 'view'
+    SELECT user_id FROM events WHERE event_type = 'view' AND value > 90
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'click'
+    SELECT user_id FROM events WHERE event_type = 'click' AND value > 90
     """,
 )
 def u2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    a = e.filter(F.col("event_type") == "view").select("user_id")
-    b = e.filter(F.col("event_type") == "click").select("user_id")
+    a = e.filter((F.col("event_type") == "view") & (F.col("value") > 90)).select("user_id")
+    b = e.filter((F.col("event_type") == "click") & (F.col("value") > 90)).select("user_id")
     return a.subtract(b)  # EXCEPT (distinct) semantics
+
+
+# ---------------------------------------------------------------------------
+# §2.10 chunking + spans — rows-only (the chunker is not SQL-expressible;
+# the driver records the weaker rows/schema check; exact semantics are
+# pinned by tests/test_chunking.py and tests/test_spans.py).
+# ---------------------------------------------------------------------------
+
+
+def _docs_as_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically wrap the plain-text documents table as HTML pages
+    so the HTML operators have an in-contract input."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title></head><body>\n<h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1>\n<p>"),
+            F.col("text"),
+            F.lit("</p>\n</body></html>"),
+        ).alias("html"),
+        F.concat(
+            F.lit("http://corpus.local/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+
+
+@query("x_chunk_documents")  # rows-only
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_docs_as_html(spark, sf_dir)).select(
+        "doc_id", "chunk_idx", "title", "token_count"
+    )
+
+
+@query("x_doc_spans")  # rows-only
+def x_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.spans import docs_to_spans, explode_spans
+
+    return explode_spans(docs_to_spans(_docs_as_html(spark, sf_dir)))

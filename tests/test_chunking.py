@@ -1,0 +1,211 @@
+"""Chunking operator tests — reference algorithm semantics
+(chunking.py:252-276) with hand-derived expectations on synthetic fixtures.
+
+Token-count arithmetic below relies on the StableHashEncoder fallback:
+every ≤8-char word is exactly 1 token and '.' is 1 token, so fixtures are
+built from short words to make expected counts computable by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from louis_crawler_legacy_spark.functions.tokenizer import (
+    StableHashEncoder,
+    default_encoder,
+)
+from louis_crawler_legacy_spark.operators import chunking
+
+
+def words(n: int, tag: str = "w") -> str:
+    return " ".join(f"{tag}{i % 97}" for i in range(n))
+
+
+ENC = StableHashEncoder()
+
+
+def test_encoder_word_counts():
+    assert len(ENC.encode(words(300))) == 300
+    assert len(ENC.encode("a b.")) == 3  # '.' is its own token
+    # >8-char words window into multiple tokens
+    assert len(ENC.encode("abcdefghijklmnop")) == 2
+    # determinism
+    assert ENC.encode("hello world") == ENC.encode("hello world")
+
+
+def test_midsize_block_emitted_as_is():
+    # one h1 section of exactly 300 tokens → single perfect-size chunk.
+    # NB fixtures need whitespace between tags: get_text() concatenates
+    # adjacent text nodes without separator (same as BeautifulSoup).
+    html = f"<html><body><h1>Top</h1>\n<p>{words(299)}</p></body></html>"
+    chunks = chunk(html)
+    assert len(chunks) == 1
+    c = chunks[0]
+    assert c["title"] == "Top"
+    # heading text 'Top' (1 token) + 299 words
+    assert c["token_count"] == 300
+    assert c["tokens"] == ENC.encode(c["text_content"])
+
+
+def chunk(html):
+    return chunking.chunk_html(html, ENC)
+
+
+def test_small_siblings_combine_and_climb():
+    # two small h2 sections under an h1: each h2 block is ~51 tokens;
+    # collection climbs to the h1 block whose total fits in one chunk.
+    html = (
+        "<html><head><title>Doc</title></head><body>\n"
+        "<h1>Main</h1>\n"
+        f"<h2>SecA</h2>\n<p>{words(50, 'a')}</p>\n"
+        f"<h2>SecB</h2>\n<p>{words(50, 'b')}</p>\n"
+        "</body></html>"
+    )
+    chunks = chunk(html)
+    assert len(chunks) == 1
+    c = chunks[0]
+    # the climb continues past the h1 block all the way to the body
+    # (h0-block): small docs collapse into ONE body-level chunk titled by
+    # the document <title> — reference semantics (chunking.py:140-155
+    # recurses on every parent .blocks, body included)
+    assert c["title"] == "Doc"
+    # 'Main' + 'SecA' + 50 + 'SecB' + 50
+    assert c["token_count"] == 103
+
+
+def test_oversize_block_sentence_split():
+    # 612 tokens in the body leaf (no headings) → sentence split at the 409
+    # bucket target. 12 sentences of 50 tokens: 8 fit (400 < 409), the 9th
+    # overflows → bucket1 = 400 tokens, bucket2 = 200 tokens. The '.'
+    # separators are dropped by the split — reference loses them too
+    # (chunking.py:83 splits, never re-adds).
+    sentences = ". ".join(words(50, f"s{j}") for j in range(12)) + "."
+    html = f"<html><body><div><p>{sentences}</p></div></body></html>"
+    chunks = chunk(html)
+    assert len(chunks) == 2
+    assert chunks[0]["token_count"] == 400
+    assert chunks[1]["token_count"] == 200
+    assert all(c["token_count"] <= 512 for c in chunks)
+
+
+def test_single_oversize_sentence_passes_through_alone():
+    # reference behavior: a >512-token sentence lands alone in a fresh
+    # bucket and is emitted UNCHECKED (combine of len==1 skips the assert,
+    # chunking.py:203-206)
+    html = f"<html><body><div><p>x. {words(600)}</p></div></body></html>"
+    chunks = chunk(html)
+    assert len(chunks) == 2
+    assert chunks[0]["token_count"] == 1  # the 'x' sentence
+    assert chunks[1]["token_count"] == 600  # oversize, unchecked
+
+
+def test_first_sentence_over_bucket_target_crashes_like_reference():
+    # reference edge: if the FIRST sentence is ≥409 tokens, bucket[0] stays
+    # empty and combine asserts len>0 → crash (chunking.py:100-118,200).
+    # We mirror the crash rather than silently diverge.
+    html = f"<html><body><div><p>{words(600)}</p></div></body></html>"
+    with pytest.raises(AssertionError):
+        chunk(html)
+
+
+def test_heading_hierarchy_blocks():
+    html = (
+        "<html><head><title>T</title></head><body>"
+        f"<h1>A</h1><p>{words(280, 'x')}</p>"
+        f"<h2>B</h2><p>{words(280, 'y')}</p>"
+        f"<h1>C</h1><p>{words(280, 'z')}</p>"
+        "</body></html>"
+    )
+    chunks = chunk(html)
+    # h2 B nests under h1 A; h1 C terminates A's block.
+    # A-leaf? A block contains B block → A is parent; leaves are B and the
+    # text directly under A... the <p> under A belongs to A's block (parent).
+    titles = [c["title"] for c in chunks]
+    assert "B" in titles and "C" in titles
+    assert all(c["token_count"] <= 512 for c in chunks)
+
+
+def test_lone_wrapped_heading_unwraps():
+    html = (
+        "<html><body>"
+        f"<details><summary><h2>Hidden</h2></summary></details><p>{words(10)}</p>"
+        "</body></html>"
+    )
+    # must not crash; summary unwraps so h2 wraps its following siblings
+    chunks = chunk(html)
+    assert len(chunks) >= 1
+
+
+def test_preannotated_cache_path():
+    """Blocks carrying tokens/token_count/text_content attrs are trusted
+    (chunking.py:17-22)."""
+    import json
+
+    html = (
+        '<html><body><div class="blocks" title="Pre" '
+        f"tokens='{json.dumps([1, 2, 3])}' token_count='3' "
+        "text_content='pre text'>ignored actual text</div></body></html>"
+    )
+    soup = chunking.parse_html(html)
+    block = soup.select_class("blocks")[0]
+    got = chunking._compute_tokens(block, ENC)
+    assert got == {
+        "text_content": "pre text",
+        "tokens": [1, 2, 3],
+        "token_count": 3,
+        "title": "Pre",
+    }
+
+
+def test_chunk_invariants_random_docs():
+    # invariant from reference tests (test_chunking.py:175-180): chunks are
+    # nonempty and ≤512 unless produced by the lone->512-sentence path
+    for ndocs in range(5):
+        html = (
+            "<html><body>"
+            + "".join(
+                f"<h2>S{j}</h2><p>{words(37 * (j + ndocs) % 300 + 5, f'd{ndocs}s{j}')}</p>"
+                for j in range(6)
+            )
+            + "</body></html>"
+        )
+        for c in chunk(html):
+            assert c["token_count"] > 0
+            assert c["token_count"] <= 512
+
+
+def test_spark_chunk_documents_matches_local(spark):
+    docs = [
+        (
+            i,
+            "<html><head><title>D%d</title></head><body>" % i
+            + f"<h1>H{i}</h1><p>{words(100 + i * 90, f'doc{i}')}</p>"
+            + f"<h2>Sub</h2><p>{words(60, f'sub{i}')}</p></body></html>",
+        )
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "html"])
+    out = chunking.chunk_documents(df).orderBy("doc_id", "chunk_idx").collect()
+
+    enc = default_encoder()
+    expected = []
+    for doc_id, html in docs:
+        for i, ch in enumerate(chunking.chunk_html(html, enc)):
+            expected.append(
+                (doc_id, i, ch["title"], ch["text_content"], ch["token_count"], ch["tokens"])
+            )
+    got = [
+        (r.doc_id, r.chunk_idx, r.title, r.text_content, r.token_count, list(r.tokens))
+        for r in out
+    ]
+    assert got == expected
+
+
+def test_combine_overflow_raises():
+    with pytest.raises(chunking.ChunkTooLargeError):
+        chunking._combine_chunks(
+            [
+                {"text_content": "a", "tokens": [1] * 300, "token_count": 300, "title": "t"},
+                {"text_content": "b", "tokens": [1] * 300, "token_count": 300, "title": "u"},
+            ]
+        )

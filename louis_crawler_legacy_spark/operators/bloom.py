@@ -1,0 +1,172 @@
+"""Partitioned Bloom-filter URL-seen set (north rule custom structure).
+
+The reference keeps the seen set as an in-memory Python set + append-only
+file and documents that it breaks past ~100k URLs
+(goldie_playwright_parallel.py:437, docs/parallel_spider_guide.md:407-410).
+At a 10^10-URL frontier neither a driver-side set nor a plain exact
+anti-join-per-candidate is enough, so:
+
+- the seen set lives in a `seen` table hash-partitioned by canonical host
+  (pmod(xxhash64(host), P)),
+- each partition additionally maintains a Bloom bitmap blob
+  (`seen_bloom(part_id, bits, n_items)`),
+- candidate dedup is two-stage: a vectorized numpy probe per partition
+  (cogrouped applyInPandas — each task touches only its partition's blob);
+  **bloom-miss ⇒ definitively new** (no false negatives) and skips the
+  exact join entirely; only bloom-hits (true dups + fpp false positives)
+  go through the exact left-anti against `seen`.
+
+At 10^10 URLs with fpp=1% that turns the exact anti-join from 10^10-row
+probe side into ~(dups + 1% of new) — the scale-critical reduction.
+
+Hashing: h1 = xxhash64(url), h2 = xxhash64(url, 'bloom-h2'), double hashing
+idx_i = (h1 + i*h2) mod m — both hashes computed JVM-side (functions/urls.py),
+the numpy probe only ever sees int64 columns.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BLOOM_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("bits", T.BinaryType()),
+        T.StructField("n_items", T.LongType()),
+    ]
+)
+
+
+def bloom_params(expected_n: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k_hashes) for a target capacity/fpp; m rounded up to bytes."""
+    expected_n = max(expected_n, 1)
+    m = int(math.ceil(-expected_n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 7) // 8 * 8)
+    k = max(1, round(m / expected_n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _indices(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(rows, k) bit positions via double hashing, unsigned-wrapped."""
+    u1 = h1.astype(np.uint64)
+    u2 = h2.astype(np.uint64)
+    out = np.empty((len(u1), k), dtype=np.uint64)
+    for i in range(k):
+        out[:, i] = (u1 + np.uint64(i) * u2) % np.uint64(m)
+    return out
+
+
+def build_bits(h1: np.ndarray, h2: np.ndarray, m: int, k: int,
+               base: bytes | None = None) -> bytes:
+    """Set bits for the given hash pairs, optionally ORing into a prior blob."""
+    arr = (
+        np.frombuffer(base, dtype=np.uint8).copy()
+        if base is not None
+        else np.zeros(m // 8, dtype=np.uint8)
+    )
+    if len(h1):
+        idx = _indices(np.asarray(h1), np.asarray(h2), k, m)
+        byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+        masks = (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        np.bitwise_or.at(arr, byte_idx.ravel(), masks.ravel())
+    return arr.tobytes()
+
+
+def probe_bits(bits: bytes, h1: np.ndarray, h2: np.ndarray, m: int, k: int) -> np.ndarray:
+    """Vectorized membership probe → bool array (True = maybe present)."""
+    if len(h1) == 0:
+        return np.zeros(0, dtype=bool)
+    arr = np.frombuffer(bits, dtype=np.uint8)
+    idx = _indices(np.asarray(h1), np.asarray(h2), k, m)
+    byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+    masks = (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    return ((arr[byte_idx] & masks) != 0).all(axis=1)
+
+
+class PartitionedBloom:
+    """Driver-facing API over the seen_bloom table contents.
+
+    All per-row work happens inside cogrouped applyInPandas tasks; the
+    driver only moves (part_id, blob) rows, never URLs.
+    """
+
+    def __init__(self, m_bits: int, k_hashes: int):
+        self.m = m_bits
+        self.k = k_hashes
+
+    def merge_blobs(self, blooms: DataFrame, new_hashes: DataFrame) -> DataFrame:
+        """blooms(part_id, bits, n_items) ⊕ new_hashes(part_id, h1, h2)
+        → refreshed blooms. Cogrouped per partition; partitions without new
+        URLs pass through untouched."""
+        m, k = self.m, self.k
+
+        def merge(key, blob_pdf: pd.DataFrame, hashes_pdf: pd.DataFrame) -> pd.DataFrame:
+            part_id = int(key[0])
+            base = blob_pdf["bits"].iloc[0] if len(blob_pdf) else None
+            n0 = int(blob_pdf["n_items"].iloc[0]) if len(blob_pdf) else 0
+            bits = build_bits(
+                hashes_pdf["h1"].to_numpy(), hashes_pdf["h2"].to_numpy(), m, k, base
+            )
+            return pd.DataFrame(
+                {"part_id": [part_id], "bits": [bits], "n_items": [n0 + len(hashes_pdf)]}
+            )
+
+        return (
+            blooms.groupBy("part_id")
+            .cogroup(new_hashes.groupBy("part_id"))
+            .applyInPandas(merge, schema=BLOOM_SCHEMA)
+        )
+
+    def probe(self, candidates: DataFrame, blooms: DataFrame,
+              h1_col: str = "h1", h2_col: str = "h2") -> DataFrame:
+        """candidates(…, part_id, h1, h2) → same rows + maybe_seen boolean.
+
+        Cogrouped by part_id so each task loads exactly one blob. Rows in
+        partitions with no blob yet are definitively new."""
+        m, k = self.m, self.k
+        out_schema = T.StructType(
+            list(candidates.schema.fields)
+            + [T.StructField("maybe_seen", T.BooleanType())]
+        )
+        cols = [f.name for f in candidates.schema.fields]
+
+        def run(key, cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(cand_pdf) == 0:
+                return pd.DataFrame(columns=cols + ["maybe_seen"])
+            if len(blob_pdf) == 0:
+                cand_pdf["maybe_seen"] = False
+            else:
+                cand_pdf["maybe_seen"] = probe_bits(
+                    blob_pdf["bits"].iloc[0],
+                    cand_pdf[h1_col].to_numpy(),
+                    cand_pdf[h2_col].to_numpy(),
+                    m,
+                    k,
+                )
+            return cand_pdf
+
+        return (
+            candidates.groupBy("part_id")
+            .cogroup(blooms.groupBy("part_id"))
+            .applyInPandas(run, schema=out_schema)
+        )
+
+
+def with_bloom_hashes(df: DataFrame, url_col: str, host_col: str,
+                      num_partitions: int) -> DataFrame:
+    """Attach (part_id, h1, h2) — all JVM-side expressions."""
+    return df.withColumns(
+        {
+            "part_id": F.pmod(F.xxhash64(F.col(host_col)), F.lit(num_partitions)).cast(
+                "int"
+            ),
+            "h1": F.xxhash64(F.col(url_col)),
+            "h2": F.xxhash64(F.col(url_col), F.lit("bloom-h2")),
+        }
+    )

@@ -412,3 +412,29 @@ def x_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from louis_crawler_legacy_spark.operators.spans import docs_to_spans, explode_spans
 
     return explode_spans(docs_to_spans(_docs_as_html(spark, sf_dir)))
+
+
+@query("x_frontier_crawl")  # rows-only: full crawl over a synthetic corpus
+def x_frontier_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end frontier engine: deterministic corpus → BFS rounds with
+    host budget → per-round metrics table. Semantics pinned vs the
+    pure-Python reference simulator in tests/test_frontier.py."""
+    import tempfile
+
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from louis_crawler_legacy_spark.sources import corpus as corpus_mod
+
+    corpus = corpus_mod.generate_corpus(
+        seed=42, n_hosts=3, pages_per_host=6, hub_factor=2, links_per_page=4
+    )
+    eng = CrawlEngine(
+        spark,
+        corpus_mod.corpus_df(spark, corpus),
+        tempfile.mkdtemp(prefix="frontier_q_"),
+        CrawlConfig(max_depth=2, batch_size=16, host_budget=8,
+                    num_partitions=4, bloom_capacity=10_000),
+    )
+    eng.run(seeds=corpus_mod.seed_urls(corpus, n=2))
+    return eng.metrics.read().select(
+        "round", "n_batch", "n_scraped", "n_errored", "n_new_frontier"
+    ).orderBy("round")

@@ -1,0 +1,137 @@
+"""Deterministic synthetic web corpus — the fetch-join source.
+
+The reference NEVER hits the network in its snapshot: the goldie spider
+replays a local cache dir through its downloader middleware
+(middlewares.py:104-117), proving fetch is separable from frontier logic.
+We mirror that: a `corpus(url, host, status, html)` table stands in for
+the web, and the per-round fetch stage is `batch LEFT JOIN corpus ON url`
+(misses → errored, like the middleware's file-not-found path). In
+production the join is replaced by a mapInPandas HTTP fetcher with the
+same output schema.
+
+Generation is a pure function of (seed, sizes): a host set with one
+deliberately hot hub host (skew-handling tests, north rule axis B), pages
+whose HTML exercises every extraction branch (title/time/main/junk
+selectors/comments; absolute, relative, fragment, mailto, query-string,
+pdf, off-domain, and dangling links), and a status mix (200 / ≥400 / and
+urls that simply don't exist in the corpus).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("html", T.StringType()),
+    ]
+)
+
+
+def generate_corpus(
+    seed: int = 42,
+    n_hosts: int = 5,
+    pages_per_host: int = 40,
+    hub_factor: int = 4,
+    links_per_page: int = 6,
+    error_rate: float = 0.08,
+    dangling_rate: float = 0.05,
+) -> list[dict]:
+    """Returns a list of {url, host, status, html} dicts.
+
+    Host 0 ('hub0.ca') holds hub_factor× more pages and receives a biased
+    share of inbound links — the hot-host skew case.
+    """
+    rng = random.Random(seed)
+    hosts = [f"hub0.ca"] + [f"site{i}.ca" for i in range(1, n_hosts)]
+    pages: dict[str, int] = {}  # url -> page ordinal
+    all_urls: list[str] = []
+    for hi, host in enumerate(hosts):
+        n = pages_per_host * (hub_factor if hi == 0 else 1)
+        for p in range(n):
+            url = f"http://{host}/page/{p}"
+            pages[url] = p
+            all_urls.append(url)
+    # a few French pages for lang detection (.ca/fr substring)
+    for hi, host in enumerate(hosts):
+        url = f"http://{host}/fr/page/0"
+        pages[url] = 10_000 + hi
+        all_urls.append(url)
+
+    def pick_target(rng: random.Random) -> str:
+        # 50% of links point at the hub host (skew)
+        if rng.random() < 0.5:
+            cands = [u for u in all_urls if u.startswith("http://hub0.ca/")]
+        else:
+            cands = all_urls
+        return rng.choice(cands)
+
+    out = []
+    for url in all_urls:
+        host = url.split("/")[2]
+        status = 200
+        if rng.random() < error_rate:
+            status = rng.choice([404, 500, 503])
+        n_words = rng.randint(40, 380)
+        words = " ".join(f"t{rng.randint(0, 96)}" for _ in range(n_words))
+        links = []
+        for j in range(rng.randint(1, links_per_page)):
+            r = rng.random()
+            if r < 0.55:
+                links.append(pick_target(rng))
+            elif r < 0.65:
+                # relative link to a same-host page
+                tgt = rng.randrange(0, pages_per_host)
+                links.append(f"/page/{tgt}")
+            elif r < 0.72:
+                links.append(f"/doc{rng.randrange(100)}.pdf")
+            elif r < 0.78:
+                links.append("#section")
+            elif r < 0.83:
+                links.append("mailto:info@" + host)
+            elif r < 0.88:
+                links.append(f"http://offdomain.example.com/x{rng.randrange(50)}")
+            elif r < 0.88 + dangling_rate:
+                links.append(f"http://{host}/missing/{rng.randrange(1000)}")
+            else:
+                links.append(pick_target(rng) + f"?ref={rng.randrange(9)}")
+        anchors = "\n".join(f'<a href="{l}">link</a>' for l in links)
+        html = (
+            f"<html><head><title>Page {pages[url]} of {host}</title></head><body>\n"
+            f"<nav>nav junk</nav>\n"
+            f"<main>\n<!-- generator comment -->\n"
+            f"<h1>Section {pages[url]}</h1>\n"
+            f"<aside>aside junk</aside>\n"
+            f'<div class="alert">alert junk</div>\n'
+            f"<p>{words}</p>\n"
+            f"<time>2024-0{1 + pages[url] % 9}-01</time>\n"
+            f"{anchors}\n"
+            f"</main>\n<footer>footer junk</footer>\n</body></html>"
+        )
+        out.append({"url": url, "host": host, "status": status, "html": html})
+    return out
+
+
+def corpus_df(spark: SparkSession, corpus: list[dict]) -> DataFrame:
+    rows = [(c["url"], c["host"], c["status"], c["html"]) for c in corpus]
+    return spark.createDataFrame(rows, CORPUS_SCHEMA)
+
+
+def corpus_dict(corpus: list[dict]) -> dict[str, dict]:
+    """url → record, for the pure-Python simulator."""
+    return {c["url"]: c for c in corpus}
+
+
+def seed_urls(corpus: list[dict], n: int = 2) -> list[str]:
+    """Deterministic seed list: first page of each of the first n hosts."""
+    hosts: list[str] = []
+    for c in corpus:
+        if c["host"] not in hosts:
+            hosts.append(c["host"])
+    return [f"http://{h}/page/0" for h in hosts[:n]]

@@ -1,0 +1,127 @@
+"""Crawl-equivalence tests (the north-rule check, SURVEY §5.2.2): the Spark
+engine must reproduce the reference simulator's per-round batches, final
+seen set, pages, and link edges on the same corpus + seed list + politeness
+budget — plus checkpoint/resume identity."""
+
+from __future__ import annotations
+
+import pytest
+
+from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+from louis_crawler_legacy_spark.simulator import simulate_crawl
+from louis_crawler_legacy_spark.sources import corpus as corpus_mod
+
+CORPUS = corpus_mod.generate_corpus(
+    seed=42, n_hosts=3, pages_per_host=8, hub_factor=2, links_per_page=5
+)
+CDICT = corpus_mod.corpus_dict(CORPUS)
+SEEDS = corpus_mod.seed_urls(CORPUS, n=2)
+
+
+def run_engine(spark, tmp_path, **cfg_kwargs):
+    cfg = CrawlConfig(num_partitions=4, bloom_capacity=10_000, **cfg_kwargs)
+    eng = CrawlEngine(
+        spark, corpus_mod.corpus_df(spark, CORPUS), str(tmp_path / "wh"), cfg
+    )
+    stats = eng.run(seeds=SEEDS)
+    return eng, stats
+
+
+def assert_equivalent(eng, stats, sim):
+    # per-round batches, in order
+    got_batches = [s.batch_urls for s in stats]
+    want_batches = sim.batches
+    assert got_batches == want_batches, (
+        f"crawl order diverged at round "
+        f"{next(i for i, (a, b) in enumerate(zip(got_batches, want_batches)) if a != b) + 1}"
+    )
+    # seen set (scraped + errored)
+    seen_rows = eng.seen.read().collect()
+    got_scraped = {r.url for r in seen_rows if r.status == "scraped"}
+    got_errored = {r.url for r in seen_rows if r.status == "errored"}
+    assert got_scraped == sim.scraped
+    assert got_errored == sim.errored
+    # pages: field-level equality
+    got_pages = {r.url: r for r in eng.pages.read().collect()}
+    assert set(got_pages) == set(sim.pages)
+    for url, want in sim.pages.items():
+        got = got_pages[url]
+        assert got.title == want["title"]
+        assert got.lang == want["lang"]
+        assert got.html_content == want["html_content"]
+        assert list(got.children) == want["children"]
+        assert got.depth == want["depth"]
+    # link edges
+    got_links = {(r.source_url, r.destination_url) for r in eng.links.read().collect()}
+    assert got_links == sim.links
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(max_depth=2, batch_size=10),
+        dict(max_depth=3, batch_size=7, host_budget=2),
+        dict(max_depth=2, batch_size=10, host_budget=3, salt_buckets=4),
+        dict(max_depth=2, batch_size=12, allowed_domains=("hub0.ca", "site1.ca")),
+    ],
+    ids=["plain-bfs", "host-budget", "salted-budget", "domain-filter"],
+)
+def test_engine_matches_simulator(spark, tmp_path, kwargs):
+    sim_kwargs = {k: v for k, v in kwargs.items() if k != "salt_buckets"}
+    sim = simulate_crawl(CDICT, SEEDS, **sim_kwargs)
+    eng, stats = run_engine(spark, tmp_path, **kwargs)
+    assert len(stats) == len(sim.rounds)
+    assert_equivalent(eng, stats, sim)
+
+
+def test_robots_filtering(spark, tmp_path):
+    robots = {"hub0.ca": ["/page/1", "/fr/"]}
+    sim = simulate_crawl(CDICT, SEEDS, max_depth=2, batch_size=10, robots=robots)
+    eng, stats = run_engine(
+        spark, tmp_path, max_depth=2, batch_size=10, robots=robots
+    )
+    assert_equivalent(eng, stats, sim)
+    # nothing under a disallowed prefix was ever fetched (except seeds,
+    # which bypass robots in both implementations by design)
+    fetched = {u for s in stats for u in s.batch_urls} - set(SEEDS)
+    assert not any(
+        u.startswith("http://hub0.ca/page/1") or u.startswith("http://hub0.ca/fr/")
+        for u in fetched
+    )
+
+
+def test_checkpoint_resume_identity(spark, tmp_path):
+    kwargs = dict(max_depth=2, batch_size=10)
+    sim = simulate_crawl(CDICT, SEEDS, **kwargs)
+
+    cfg = CrawlConfig(num_partitions=4, bloom_capacity=10_000, **kwargs)
+    cdf = corpus_mod.corpus_df(spark, CORPUS)
+
+    # run only 2 rounds, then resume with a FRESH engine over the warehouse
+    eng1 = CrawlEngine(spark, cdf, str(tmp_path / "wh"), cfg)
+    eng1.bootstrap(SEEDS)
+    stats1 = eng1.run(seeds=None, max_rounds=2)
+    assert len(stats1) == 2
+
+    eng2 = CrawlEngine(spark, cdf, str(tmp_path / "wh"), cfg)
+    assert eng2.last_completed_round() == 2
+    stats2 = eng2.resume()
+
+    got_batches = [s.batch_urls for s in stats1 + stats2]
+    assert got_batches == sim.batches
+    assert_equivalent(eng2, stats1 + stats2, sim)
+
+
+def test_rollback_time_travel(spark, tmp_path):
+    kwargs = dict(max_depth=2, batch_size=10)
+    cfg = CrawlConfig(num_partitions=4, bloom_capacity=10_000, **kwargs)
+    cdf = corpus_mod.corpus_df(spark, CORPUS)
+    eng = CrawlEngine(spark, cdf, str(tmp_path / "wh"), cfg)
+    full = eng.run(seeds=SEEDS)
+    assert len(full) >= 3
+
+    # roll back to after round 2, re-run — batches must replay identically
+    eng.rollback_to_round(2)
+    assert eng.last_completed_round() == 2
+    replay = eng.resume()
+    assert [s.batch_urls for s in replay] == [s.batch_urls for s in full[2:]]

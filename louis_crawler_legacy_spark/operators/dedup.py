@@ -1,0 +1,298 @@
+"""Deduplication operators for training-data pipelines, smallest-to-largest
+hammer:
+
+- exact          — hash groupBy on (normalized) content; map-side partial
+                   aggregation collapses dups before the shuffle
+- ngram-jaccard  — exact Jaccard over word n-gram shingles within cheap
+                   blocking buckets (bounded pair explosion; DuckDB oracle)
+- MinHash + LSH  — shingle → minhash signature → band buckets → bucket join;
+                   the scale path for all-pairs near-dup at 100 TB: the only
+                   shuffle is on band keys, candidate pairs are verified by
+                   signature similarity, never by re-reading text
+- SimHash        — 64-bit sign-aggregated fingerprint; near-dup = small
+                   Hamming distance within same-band buckets
+- embedding      — cosine near-dup over an embedding column (see
+                   similarity.py for the ANN machinery)
+
+All hashing is JVM-side xxhash64; signatures live in arrays; no Python in
+any hot path. MinHash permutations use (aᵢ·h + bᵢ) mod p with constants
+derived deterministically from the permutation index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 31-bit Mersenne prime: keeps aᵢ·h + bᵢ < 2^62 — no silent long overflow
+# inside the permutation arithmetic (Spark longs wrap, which would make the
+# "uniform permutation" family quietly lopsided)
+MERSENNE_P = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per distinct text. Equivalent SQL: row_number()
+    over (partition by text order by id) = 1."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Group-by-key duplicate report: (key, n_dups, keeper_id)."""
+    return (
+        df.groupBy(key.alias("dup_key"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (native higher-order functions)."""
+    words = F.split(F.trim(text), r"\s+")
+    count = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+    # short texts (< n words): fall back to the whole text as one shingle
+    return F.when(count >= 1, F.array_distinct(grams)).otherwise(
+        F.array(F.trim(text))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter / F.greatest(union, F.lit(1))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_expr: Column | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs within a blocking bucket.
+
+    Blocking (default: first two words) bounds the O(n²) pair explosion —
+    the shuffle is on the block key, and AQE's skew-join handles a hot
+    block. For unblocked all-pairs at scale use minhash_lsh_pairs."""
+    if block_expr is None:
+        w = F.split(F.trim(F.col(text_col)), r"\s+")
+        block_expr = F.concat_ws(" ", w.getItem(0), w.getItem(1))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        block_expr.alias("block"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    left = base.select("block", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = base.select("block", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = left.join(right, "block").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _perm_constants(num_perm: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) per permutation — odd a, derived from the index
+    via splitmix-style mixing (no RNG state, reproducible everywhere)."""
+    def mix(x: int) -> int:
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        return x ^ (x >> 31)
+
+    a = [(mix(i * 2 + 1) | 1) % MERSENNE_P for i in range(num_perm)]
+    b = [mix(i * 2 + 2) % MERSENNE_P for i in range(num_perm)]
+    return a, b
+
+
+def minhash_signature(text: Column, num_perm: int = 64, shingle_n: int = 3) -> Column:
+    """array<long> signature: min over shingle hashes of (aᵢ·h + bᵢ) mod p.
+
+    Shingle hashes are xxhash64 (JVM); the permutation arithmetic runs in
+    native higher-order functions. Cost: O(shingles × num_perm) per row,
+    fully parallel, no shuffle."""
+    a_const, b_const = _perm_constants(num_perm)
+    sh = shingles(text, shingle_n)
+    # non-negative 63-bit shingle hashes
+    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % MERSENNE_P)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (
+                    F.element_at(F.lit(a_const), i + 1) * h
+                    + F.element_at(F.lit(b_const), i + 1)
+                )
+                % MERSENNE_P,
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate generation + signature-similarity verification.
+
+    bands=16 over 64 perms → rows=4 → s-curve midpoint ≈ (1/16)^(1/4) ≈ 0.5.
+    Output: (id_a, id_b, sim) where sim = fraction of equal minhashes."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_perm, shingle_n).alias("sig"),
+    )
+    # explode to (band, band_hash) bucket keys — the ONLY shuffle key
+    banded = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select("band", "band_hash", F.col("id").alias("id_a"),
+                         F.col("sig").alias("sig_a"))
+    right = banded.select("band", "band_hash", F.col("id").alias("id_b"),
+                          F.col("sig").alias("sig_b"))
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_perm))
+    return (
+        cand.withColumn("sim", F.round(sim, 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+# signed-long bit masks 1<<i (bit 63 wraps to long min) — a literal array so
+# higher-order lambdas can index it (shiftleft needs a Python-int bit count)
+_BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over word hashes: bit i set iff Σ sign(word_hash bit i)
+    > 0. Native-only: per-bit tally via higher-order functions."""
+    words = F.array_distinct(F.split(F.trim(text), r"\s+"))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    masks = F.lit(_BIT_MASKS)
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.element_at(masks, i + 1)) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_sums,
+            masks,
+            lambda s, mask: F.when(s > 0, mask).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc.bitwiseOR(bit),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
+    Hamming ≤ 3·16/64… pigeonhole: ≤ bands−1 differing bands guarantees one
+    equal band for hamming < bands), verify with exact Hamming distance."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    )
+    bits_per_band = 64 // bands
+    band_mask = (1 << bits_per_band) - 1
+    banded = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), b * bits_per_band).bitwiseAND(
+                        F.lit(band_mask).cast("long")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    left = banded.select("band", "band_val", F.col("id").alias("id_a"),
+                         F.col("sh").alias("sh_a"))
+    right = banded.select("band", "band_val", F.col("id").alias("id_b"),
+                          F.col("sh").alias("sh_b"))
+    cand = (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,196 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine / dot product: native zip_with + aggregate (JVM, no Python)
+- brute-force top-k: broadcast the (small) query set against the corpus,
+  rank per query — the exactness baseline; corpus never shuffles
+- LSH-bucketed ANN: deterministic random-hyperplane signatures → candidates
+  share a bucket → exact re-rank within buckets. The scale path: the corpus
+  is bucketed once (write-time at 100 TB) and each query touches only its
+  bucket's rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (desc), tie-break by
+    neighbor id. Queries are broadcast — the corpus scan is one pass, the
+    only shuffle is the per-query k-row window."""
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from index mixing
+    (no RNG state; same plane on every executor and run)."""
+    def mix(x: int) -> int:
+        x = (x ^ (x >> 33)) * 0xFF51AFD7ED558CCD % (1 << 64)
+        x = (x ^ (x >> 33)) * 0xC4CEB9FE1A85EC53 % (1 << 64)
+        return x ^ (x >> 33)
+
+    out = []
+    for j in range(dim):
+        h = mix(plane_idx * 1_000_003 + j + 1)
+        out.append((h / float(1 << 64)) * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 12, table: int = 0) -> Column:
+    """Sign-pattern bucket id ∈ [0, 2^n_planes): bit i = sign(vec · planeᵢ).
+    ``table`` selects an independent plane set (multi-table LSH)."""
+    acc = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.lit(_hyperplane(dim, table * 1_000 + i))
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return acc
+
+
+def lsh_buckets_multi(vec: Column, dim: int, n_planes: int, n_tables: int) -> Column:
+    """array of (table, bucket) keys — explode to probe all tables; recall
+    grows ≈ 1-(1-p)^T for per-table hit rate p."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(vec, dim, n_planes, t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN: candidates share an LSH bucket in ANY of n_tables independent
+    tables; exact cosine re-rank within candidates. Recall ≈ 1-(1-p)^T.
+    At 100 TB the corpus side is bucketed at write time (partition columns
+    (table, bucket)), so a query reads n_tables buckets, not the table."""
+    c = corpus.select(
+        id_col,
+        vec_col,
+        F.explode(lsh_buckets_multi(F.col(vec_col), dim, n_planes, n_tables)).alias(
+            "tb"
+        ),
+    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+    q = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(
+            lsh_buckets_multi(F.col(query_vec_col), dim, n_planes, n_tables)
+        ).alias("tb"),
+    ).select(query_id_col, query_vec_col, "tb.table", "tb.bucket")
+    joined = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .dropDuplicates([id_col, query_id_col])
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join."""
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    left = c.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    right = c.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn(
+            "cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is a NATIVE column expression (whole-stage codegen, no
+Python): at 100 TB these run inside the parquet scan stage with zero
+shuffle. Each has an exact DuckDB-SQL oracle in plans/driver_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: alnum runs or single non-space symbols (matches the
+# tokenizer fallback's piece regex, functions/tokenizer.py)
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"
+
+# tiny per-language stopword sets for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "fr": ("le", "la", "les", "des", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "los", "las", "es", "y", "una"),
+}
+# deterministic priority for score ties
+LANG_PRIORITY = ("en", "fr", "de", "es")
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def words_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words_col(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish regex token count."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def _stopword_pattern(lang: str) -> str:
+    return r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    lowered = F.lower(text)
+    return {
+        lang: F.size(
+            F.regexp_extract_all(lowered, F.lit(_stopword_pattern(lang)), F.lit(0))
+        )
+        for lang in LANG_PRIORITY
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-count language ID with deterministic tie-break
+    (LANG_PRIORITY order — earlier language wins ties)."""
+    scores = lang_scores(text)
+    best = scores[LANG_PRIORITY[0]]
+    for lang in LANG_PRIORITY[1:]:
+        best = F.greatest(best, scores[lang])
+    # when-chain in priority order: first lang whose score == max wins ties
+    expr = None
+    for lang in LANG_PRIORITY:
+        cond = scores[lang] == best
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\sA-Za-z0-9]"), F.lit(0)))
+    return n_punct / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(_stopword_pattern(lang)), F.lit(0))
+    )
+    return n_stop / F.greatest(token_count_ws(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Length/punctuation/stopword quality heuristic ∈ [0,1]:
+    0.4·min(words/100,1) + 0.3·(1−punct_ratio) + 0.3·min(stop_ratio·5,1)."""
+    w = token_count_ws(text)
+    len_part = F.least(w / F.lit(100.0), F.lit(1.0)) * 0.4
+    punct_part = (F.lit(1.0) - punct_ratio(text)) * 0.3
+    stop_part = F.least(stopword_ratio(text) * 5.0, F.lit(1.0)) * 0.3
+    return F.round(len_part + punct_part + stop_part, 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling hash over words:
+    fold(acc·31 + ascii(first char)·7 + len(word)) mod 1e9+7.
+    Deliberately expressible in both Spark and DuckDB so the oracle checks
+    exact values (a content fingerprint for incremental recrawl dedup)."""
+    return F.aggregate(
+        words_col(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 31 + F.ascii(w) * 7 + F.length(w)) % FINGERPRINT_MOD,
+    )
+
+
+# --- DuckDB oracle fragments (kept adjacent so they evolve together) --------
+
+ORACLE_TOKEN_WS = r"len(string_split_regex(trim(text), '\s+'))"
+ORACLE_TOKEN_BPE = r"len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))"
+
+
+def oracle_lang_scores() -> dict[str, str]:
+    return {
+        lang: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(LANG_STOPWORDS[lang])})\b'))"
+        for lang in LANG_PRIORITY
+    }
+
+
+def oracle_lang_id() -> str:
+    s = oracle_lang_scores()
+    best = f"greatest({s['en']}, {s['fr']}, {s['de']}, {s['es']})"
+    return (
+        f"CASE WHEN {s['en']} = {best} THEN 'en' "
+        f"WHEN {s['fr']} = {best} THEN 'fr' "
+        f"WHEN {s['de']} = {best} THEN 'de' "
+        f"ELSE 'es' END"
+    )
+
+
+ORACLE_PUNCT_RATIO = (
+    r"len(regexp_extract_all(text, '[^\sA-Za-z0-9]'))"
+    r" / greatest(len(text), 1)"
+)
+ORACLE_STOPWORD_RATIO = (
+    rf"len(regexp_extract_all(lower(text), '\b({'|'.join(LANG_STOPWORDS['en'])})\b'))"
+    rf" / greatest({ORACLE_TOKEN_WS}, 1)"
+)
+ORACLE_QUALITY = (
+    f"round(least({ORACLE_TOKEN_WS} / 100.0, 1.0) * 0.4"
+    f" + (1.0 - {ORACLE_PUNCT_RATIO}) * 0.3"
+    f" + least({ORACLE_STOPWORD_RATIO} * 5.0, 1.0) * 0.3, 4)"
+)
+ORACLE_FINGERPRINT = (
+    r"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    r"list_transform(string_split_regex(trim(text), '\s+'), "
+    r"w -> CAST(ascii(w) * 7 + len(w) AS BIGINT))), "
+    rf"(acc, v) -> (acc * 31 + v) % {FINGERPRINT_MOD})"
+)

@@ -438,3 +438,250 @@ def x_frontier_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.metrics.read().select(
         "round", "n_batch", "n_scraped", "n_errored", "n_new_frontier"
     ).orderBy("round")
+
+
+# ===========================================================================
+# Training-data pipeline operators (dedup / similarity / text analysis /
+# multimodal) — first-class components per the build brief.
+# ===========================================================================
+
+_TXT = None  # placeholder to keep module import light
+
+
+# --- text analysis (native columns; exact DuckDB oracles) -------------------
+
+@query(
+    "t1_token_counts",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\\sA-Za-z0-9]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def t1_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ts.token_count_ws(F.col("text")).alias("ws_tokens"),
+        ts.token_count_bpe(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def _lang_oracle() -> str:
+    from louis_crawler_legacy_spark.operators import textstats as ts
+
+    return f"SELECT doc_id, {ts.oracle_lang_id()} AS pred_lang FROM documents"
+
+
+@query("t2_lang_id")
+def t2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@query("t3_quality_score")
+def t3_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.quality_score(F.col("text")).alias("quality"))
+
+
+@query("t4_fingerprint")
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
+
+
+# --- dedup -------------------------------------------------------------------
+
+@query(
+    "d1_exact_dedup",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id", "lang")
+
+
+@query(
+    "d2_dup_groups",
+    """
+    SELECT substr(text, 1, 30) AS dup_key, count(*) AS n_docs,
+           min(doc_id) AS keeper_id
+    FROM documents GROUP BY substr(text, 1, 30) HAVING count(*) > 1
+    """,
+)
+def d2_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.dedup import duplicate_groups
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_groups(d, F.substring("text", 1, 30))
+
+
+@query(
+    "d3_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS w,
+             concat(string_split_regex(trim(text), '\\s+')[1], ' ',
+                    string_split_regex(trim(text), '\\s+')[2]) AS block
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id, block,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+             ELSE [trim(concat(w[1], ' '))] END AS sh
+      FROM sh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1),
+                 4) AS jaccard
+    FROM shingled a JOIN shingled b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) >= 0.2
+    """,
+)
+def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.2)
+
+
+@query("d4_minhash_lsh")  # rows-only: xxhash64 not reproducible in DuckDB
+def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.3)
+
+
+@query("d5_simhash")  # rows-only
+def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=6)
+
+
+# --- similarity search --------------------------------------------------------
+
+def _queries_df(spark: SparkSession, sf_dir: str):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@query(
+    "s1_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                   greatest(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                            sqrt(list_dot_product(q.qv, q.qv)), 1e-12), 4) AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, _queries_df(spark, sf_dir), k=5)
+
+
+@query("s2_lsh_ann_topk")  # rows-only (approximate by construction)
+def s2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return lsh_topk(e, _queries_df(spark, sf_dir), dim=dim, k=5, n_planes=8)
+
+
+@query("s3_embedding_near_dup")  # rows-only
+def s3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    # testdata embeddings are near-orthogonal (max pairwise cos ≈ 0.46 at
+    # sf0.01) — 0.35 exercises the operator with a non-empty result
+    return embedding_near_dup_pairs(e, dim=dim, threshold=0.35)
+
+
+# --- multimodal plumbing --------------------------------------------------------
+
+@query(
+    "m1_media_metadata",
+    """
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n,
+                      substr(text, 1, 64) AS prefix FROM documents)
+    SELECT doc_id,
+           n AS n_bytes,
+           CASE WHEN n % 3 != 0 THEN 'image' ELSE 'audio' END AS media_kind,
+           (n * 7) % 640 + 16 AS width,
+           (n * 13) % 480 + 16 AS height,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, len(prefix)),
+                            i -> CAST(ascii(substr(prefix, i, 1)) AS BIGINT))),
+             (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
+    FROM m
+    """,
+)
+def m1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.media import decode_media
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return decode_media(d)
+
+
+# oracles for t2/t3/t4 are built from the SAME fragments the Spark
+# implementations document (operators/textstats.py) so they evolve together
+def _register_textstat_oracles() -> None:
+    from louis_crawler_legacy_spark.operators import textstats as ts
+
+    ORACLES["t2_lang_id"] = (
+        f"SELECT doc_id, {ts.oracle_lang_id()} AS pred_lang FROM documents"
+    )
+    ORACLES["t3_quality_score"] = (
+        f"SELECT doc_id, {ts.ORACLE_QUALITY} AS quality FROM documents"
+    )
+    ORACLES["t4_fingerprint"] = (
+        f"SELECT doc_id, {ts.ORACLE_FINGERPRINT} AS fp FROM documents"
+    )
+
+
+_register_textstat_oracles()

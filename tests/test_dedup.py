@@ -1,0 +1,106 @@
+"""Dedup family: exact, n-gram Jaccard, MinHash+LSH, SimHash — with planted
+near-duplicates as ground truth."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from louis_crawler_legacy_spark.operators import dedup
+
+
+def make_docs():
+    """100 base docs + planted near-dup pairs (ids 1000+i duplicates i with
+    a small mutation) + two exact dup pairs."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(100):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(60)]
+        docs.append((i, " ".join(words)))
+    planted = []
+    for i in range(10):
+        base = docs[i][1].split()
+        mutated = list(base)
+        for _ in range(3):  # ~5% mutation → jaccard stays high
+            mutated[rng.randrange(len(mutated))] = vocab[rng.randrange(len(vocab))]
+        docs.append((1000 + i, " ".join(mutated)))
+        planted.append((i, 1000 + i))
+    docs.append((2000, docs[0][1]))  # exact dup of 0
+    docs.append((2001, docs[1][1]))  # exact dup of 1
+    return docs, planted
+
+
+DOCS, PLANTED = make_docs()
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup(spark, docs_df):
+    kept = dedup.exact_dedup(docs_df)
+    assert kept.count() == len(DOCS) - 2
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert 0 in kept_ids and 2000 not in kept_ids
+    assert 1 in kept_ids and 2001 not in kept_ids
+
+    groups = dedup.duplicate_groups(docs_df, F.col("text"))
+    rows = {r.keeper_id: r.n_docs for r in groups.collect()}
+    assert rows == {0: 2, 1: 2}
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, docs_df):
+    pairs = dedup.minhash_lsh_pairs(docs_df, threshold=0.35)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for a, b in PLANTED:
+        assert (a, b) in got, f"planted near-dup ({a},{b}) missed"
+    # exact dups are trivially found with sim 1.0
+    sims = {(r.id_a, r.id_b): r.sim for r in pairs.collect()}
+    assert sims[(0, 2000)] == 1.0
+
+
+def test_minhash_signature_deterministic(spark, docs_df):
+    sig1 = docs_df.select(
+        dedup.minhash_signature(F.col("text")).alias("s")
+    ).collect()
+    sig2 = docs_df.select(
+        dedup.minhash_signature(F.col("text")).alias("s")
+    ).collect()
+    assert [list(r.s) for r in sig1] == [list(r.s) for r in sig2]
+    assert all(len(r.s) == 64 for r in sig1)
+
+
+def test_ngram_jaccard_blocked(spark, docs_df):
+    # block on the first word so planted pairs (same first word unless
+    # mutated there) mostly collide; verify exact jaccard values vs Python
+    pairs = dedup.ngram_jaccard_pairs(
+        docs_df,
+        threshold=0.3,
+        block_expr=F.split(F.trim(F.col("text")), r"\s+").getItem(0),
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got, "no pairs found"
+
+    def py_shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    texts = dict(DOCS)
+    for (a, b), j in got.items():
+        sa, sb = py_shingles(texts[a]), py_shingles(texts[b])
+        want = len(sa & sb) / len(sa | sb)
+        assert abs(j - want) < 1e-3, (a, b)
+
+
+def test_simhash_near_dups(spark, docs_df):
+    sh = docs_df.select(dedup.simhash64(F.col("text")).alias("h")).collect()
+    assert all(isinstance(r.h, int) for r in sh)
+    pairs = dedup.simhash_pairs(docs_df, max_hamming=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 2000) in got and (1, 2001) in got  # exact dups: hamming 0
+    found_planted = sum(1 for p in PLANTED if p in got)
+    assert found_planted >= 5, f"simhash found only {found_planted}/10 planted"

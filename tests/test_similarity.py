@@ -1,0 +1,178 @@
+"""Similarity search: exact cosine top-k vs numpy ground truth; LSH recall;
+media decode plumbing; text-analysis column functions vs Python."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from louis_crawler_legacy_spark.operators import media, similarity, textstats
+
+DIM = 16
+N = 200
+
+
+def make_vectors():
+    rng = np.random.default_rng(11)
+    # clustered vectors so top-k is meaningful
+    centers = rng.normal(size=(8, DIM))
+    out = []
+    for i in range(N):
+        c = centers[i % 8]
+        v = c + rng.normal(scale=0.3, size=DIM)
+        out.append((i, [float(x) for x in v]))
+    return out
+
+
+VECS = make_vectors()
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    return spark.createDataFrame(VECS, VEC_SCHEMA).cache()
+
+
+def numpy_topk(query_ids, k):
+    arr = np.array([v for _, v in VECS], dtype=np.float32).astype(np.float64)
+    norms = np.linalg.norm(arr, axis=1)
+    out = {}
+    for q in query_ids:
+        cos = arr @ arr[q] / (norms * norms[q])
+        order = sorted(
+            (i for i in range(N) if i != q), key=lambda i: (-round(cos[i], 4), i)
+        )
+        out[q] = order[:k]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark, vec_df):
+    qids = [0, 7, 55]
+    queries = spark.createDataFrame(
+        [(i, VECS[i][1]) for i in qids],
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("query_vec", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    got_rows = similarity.brute_force_topk(vec_df, queries, k=5).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    want = numpy_topk(qids, 5)
+    for q in qids:
+        got_ids = [nid for _, nid in sorted(got[q])]
+        assert got_ids == want[q], f"query {q}: {got_ids} vs {want[q]}"
+
+
+def test_lsh_topk_recall(spark, vec_df):
+    qids = list(range(10))
+    queries = spark.createDataFrame(
+        [(i, VECS[i][1]) for i in qids],
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("query_vec", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    got_rows = similarity.lsh_topk(vec_df, queries, dim=DIM, k=5, n_planes=6).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    want = numpy_topk(qids, 5)
+    hits = total = 0
+    for q in qids:
+        total += 5
+        hits += len(set(want[q]) & got.get(q, set()))
+    recall = hits / total
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_embedding_near_dup_pairs(spark, vec_df):
+    # plant a near-identical pair
+    planted = [(9000, VECS[3][1]), (9001, [x * 1.001 for x in VECS[3][1]])]
+    df = vec_df.union(spark.createDataFrame(planted, VEC_SCHEMA))
+    pairs = similarity.embedding_near_dup_pairs(df, dim=DIM, threshold=0.999)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (3, 9000) in got or (9000, 9001) in got
+
+
+def test_media_decode_plumbing(spark):
+    rows = [(i, bytes(f"payload-{i}" * (i + 1), "utf-8")) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    out = {r.doc_id: r for r in media.decode_media(df).collect()}
+    assert len(out) == 20
+    for i, payload in rows:
+        want = media.fake_decode(payload)
+        got = out[i]
+        assert got.n_bytes == want["n_bytes"]
+        assert got.media_kind == want["media_kind"]
+        assert (got.width, got.height) == (want["width"], want["height"])
+        assert got.checksum == want["checksum"]
+
+
+def test_media_real_decode_is_stubbed(spark):
+    df = spark.createDataFrame([(1, b"xx")], ["doc_id", "payload"])
+    with pytest.raises(Exception) as exc_info:
+        media.decode_media(df, real_decode=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, bytes(320))], ["doc_id", "payload"])
+    frames = media.frame_sample_plan(df, every_n=3).collect()
+    # n_bytes=320 → 10 fake frames → sampled 0,3,6,9
+    assert [r.frame_idx for r in frames] == [0, 3, 6, 9]
+
+
+# --- text stats vs pure Python ------------------------------------------------
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog.",
+    "le chat est sur la table et le chien est las",
+    "der hund und die katze das ist ein test",
+    "data scan spark fast query row!!! xx",
+    "   spaced    out   words   ",
+]
+
+
+def test_textstats_match_python(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"])
+    got = df.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("ws"),
+        textstats.token_count_bpe(F.col("text")).alias("bpe"),
+        textstats.lang_id(F.col("text")).alias("lang"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+        textstats.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    for r in got:
+        t = TEXTS[r.doc_id]
+        assert r.ws == len(t.split()), t
+        assert r.bpe == len(re.findall(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]", t)), t
+        # fingerprint recomputed in python
+        fp = 0
+        for w in t.strip().split():
+            fp = (fp * 31 + ord(w[0]) * 7 + len(w)) % textstats.FINGERPRINT_MOD
+        assert r.fp == fp, t
+        assert 0.0 <= r.q <= 1.0
+    langs = {r.doc_id: r.lang for r in got}
+    assert langs[0] == "en"
+    assert langs[1] == "fr"
+    assert langs[2] == "de"

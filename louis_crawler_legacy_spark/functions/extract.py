@@ -21,9 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from louis_crawler_legacy_spark.functions.htmlx import (
-    clean_html,
-    extract_children,
-    extract_last_updated,
+    children_from_hrefs,
+    clean_soup,
     parse_html,
 )
 
@@ -31,10 +30,18 @@ from louis_crawler_legacy_spark.functions.htmlx import (
 def extract_page_fields(
     html: str, url: str, allowed_domains: list[str] | None
 ) -> dict:
+    # ONE parse per page: links/title/time read from the tree first,
+    # clean_soup mutates it last (same results as the reference, which runs
+    # each extraction over the full response object)
     soup = parse_html(html)
     t = soup.title
     title = t.get_text() if t is not None else ""
-    children = extract_children(html, url)
+    time_el = soup.root.find("time")
+    last_updated = time_el.get_text() if time_el is not None else None
+    hrefs = [
+        a.attrs["href"] for a in soup.root.find_all("a") if a.attrs.get("href")
+    ]
+    children = children_from_hrefs(hrefs, url)
     if allowed_domains:
         kept = []
         for link in children:
@@ -45,8 +52,8 @@ def extract_page_fields(
     return {
         "title": title,
         "lang": "fr" if ".ca/fr" in url else "en",
-        "content": clean_html(html, parallel_variant=True),
-        "last_updated": extract_last_updated(html),
+        "content": clean_soup(soup, parallel_variant=True),
+        "last_updated": last_updated or None,
         "children": children,
     }
 

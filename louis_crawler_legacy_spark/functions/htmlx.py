@@ -389,7 +389,12 @@ def clean_html(html: str, parallel_variant: bool = True) -> str:
     goldie_playwright_parallel.py:251-287). Returns the whitespace-collapsed
     serialized <main> (or <body> fallback) with junk selectors and comments
     removed."""
-    soup = parse_html(html)
+    return clean_soup(parse_html(html), parallel_variant)
+
+
+def clean_soup(soup: Soup, parallel_variant: bool = True) -> str:
+    """clean_html over an already-parsed tree (MUTATES the tree — run link/
+    title extraction first)."""
     main = soup.root.find("main")
     scope = main if main is not None else soup.body
     drop_tags = DROP_TAGS_PARALLEL if parallel_variant else DROP_TAGS
@@ -403,6 +408,22 @@ def clean_html(html: str, parallel_variant: bool = True) -> str:
         if isinstance(n, CommentNode):
             n.parent.children.remove(n)
     return collapse_ws(scope.to_html())
+
+
+def children_from_hrefs(hrefs: list[str], base_url: str) -> list[str]:
+    """P6 core over pre-extracted hrefs (single-parse path)."""
+    from urllib.parse import urljoin
+
+    seen = set()
+    out = []
+    for href in hrefs:
+        if not href or href.startswith("#") or href.startswith("mailto:"):
+            continue
+        absolute = urljoin(base_url, href)
+        if absolute not in seen:
+            seen.add(absolute)
+            out.append(absolute)
+    return out
 
 
 def extract_hrefs(html: str) -> list[str]:
@@ -419,15 +440,4 @@ def extract_hrefs(html: str) -> list[str]:
 def extract_children(html: str, base_url: str) -> list[str]:
     """P6 (goldie.py:22-35): children links — skip #… and mailto:, urljoin
     against the page url, first-occurrence order-preserving dedup."""
-    from urllib.parse import urljoin
-
-    seen = set()
-    out = []
-    for href in extract_hrefs(html):
-        if not href or href.startswith("#") or href.startswith("mailto:"):
-            continue
-        absolute = urljoin(base_url, href)
-        if absolute not in seen:
-            seen.add(absolute)
-            out.append(absolute)
-    return out
+    return children_from_hrefs(extract_hrefs(html), base_url)

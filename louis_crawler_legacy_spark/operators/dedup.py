@@ -130,14 +130,14 @@ def _perm_constants(num_perm: int) -> tuple[list[int], list[int]]:
 
 
 def minhash_signature(text: Column, num_perm: int = 64, shingle_n: int = 3) -> Column:
-    """array<long> signature: min over shingle hashes of (aᵢ·h + bᵢ) mod p.
+    """array<long> signature as a single column expression.
 
-    Shingle hashes are xxhash64 (JVM); the permutation arithmetic runs in
-    native higher-order functions. Cost: O(shingles × num_perm) per row,
-    fully parallel, no shuffle."""
+    NOTE: only for small inputs/tests — Catalyst inlines the shingle-hash
+    subtree into all num_perm lambdas (num_perm× recompute). The scale path
+    is ``minhash_signatures`` below (explode + 64 min-aggregates, one
+    codegen'd hash aggregate, shingles hashed exactly once)."""
     a_const, b_const = _perm_constants(num_perm)
     sh = shingles(text, shingle_n)
-    # non-negative 63-bit shingle hashes
     hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % MERSENNE_P)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
@@ -151,6 +151,36 @@ def minhash_signature(text: Column, num_perm: int = 64, shingle_n: int = 3) -> C
                 % MERSENNE_P,
             )
         ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — the scale path.
+
+    explode(shingles) → one row per (doc, shingle-hash), then num_perm
+    min() aggregates in ONE hash aggregate: each shingle is hashed once,
+    partial aggregation collapses per-partition, the only shuffle is the
+    groupBy on doc id. At 100 TB this is a single pass + one exchange."""
+    a_const, b_const = _perm_constants(num_perm)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).select("id", (F.abs(F.xxhash64("s")) % MERSENNE_P).alias("h"))
+    aggs = [
+        F.min((F.lit(a_const[i]) * F.col("h") + F.lit(b_const[i])) % MERSENNE_P).alias(
+            f"_m{i}"
+        )
+        for i in range(num_perm)
+    ]
+    sig = exploded.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
     )
 
 
@@ -169,10 +199,7 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, sim) where sim = fraction of equal minhashes."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_perm, shingle_n).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
     # explode to (band, band_hash) bucket keys — the ONLY shuffle key
     banded = sig.select(
         "id",
@@ -225,7 +252,8 @@ _BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
 
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over word hashes: bit i set iff Σ sign(word_hash bit i)
-    > 0. Native-only: per-bit tally via higher-order functions."""
+    > 0. Column-expression form for small inputs/tests; the scale path is
+    ``simhash_signatures`` (explode + 64 sum-aggregates)."""
     words = F.array_distinct(F.split(F.trim(text), r"\s+"))
     hashes = F.transform(words, lambda w: F.xxhash64(w))
     masks = F.lit(_BIT_MASKS)
@@ -249,6 +277,34 @@ def simhash64(text: Column) -> Column:
     )
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh: long) — relational SimHash: one row per distinct word hash,
+    64 conditional-sum aggregates in one pass, bits reassembled by addition
+    (disjoint masks). Same single-shuffle profile as minhash_signatures."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias(
+            "w"
+        ),
+    ).select("id", F.xxhash64("w").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(_BIT_MASKS[i])) != 0, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    sums = exploded.groupBy("id").agg(*aggs)
+    sh = None
+    for i in range(64):
+        term = F.when(F.col(f"_b{i}") > 0, F.lit(_BIT_MASKS[i]).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh = term if sh is None else sh + term  # disjoint bits: + == OR
+    return sums.select("id", sh.alias("sh"))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -263,9 +319,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
     Hamming ≤ 3·16/64… pigeonhole: ≤ bands−1 differing bands guarantees one
     equal band for hamming < bands), verify with exact Hamming distance."""
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
-    )
+    sh = simhash_signatures(df, id_col, text_col)
     bits_per_band = 64 // bands
     band_mask = (1 << bits_per_band) - 1
     banded = sh.select(

@@ -30,6 +30,7 @@ subset (operators/bloom.py).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -44,6 +45,7 @@ from louis_crawler_legacy_spark.operators.politeness import (
     politeness_cap,
     robots_filter,
 )
+from louis_crawler_legacy_spark.operators.spans import SPANS_TYPE, docs_to_spans
 from louis_crawler_legacy_spark.sources.tables import Warehouse
 
 ORDER_COLS = ("depth", "discovery_round", "discovery_seq", "url")
@@ -123,6 +125,32 @@ class CrawlConfig:
     bloom_capacity: int = 1_000_000
     bloom_fpp: float = 0.01
     base_timestamp: int = 1_700_000_000  # last_crawled = base + round (P5)
+    # The seen-set guarantees a URL is fetched at most once per warehouse,
+    # so pages/links writes are pure appends (the reference's ON CONFLICT
+    # upsert, db.py:494-528, only matters for re-runs against a shared DB —
+    # our warehouse persists `seen`, so even resume never refetches).
+    # Set False to get MERGE-style upserts (recrawl workloads).
+    unique_fetch: bool = True
+    # per-round candidate/bloom-hit counts cost extra Spark actions; tests
+    # want them, tight benchmark loops don't
+    detailed_metrics: bool = True
+    # checkpoint cadence: 1 = snapshot state tables every round (max
+    # resumability), k>1 = every k rounds, 0 = only at the end of run().
+    # Frontier/seen/bloom state lives in cached DataFrames between
+    # checkpoints — the Iceberg-commit-per-round pattern decoupled from the
+    # round loop. pages/links appends (the crawl OUTPUT) always flush per
+    # round; a crash loses at most the rounds since the last checkpoint.
+    checkpoint_every: int = 1
+    # collect the batch's URLs to the driver (tests/oracles want the exact
+    # ordered list; a 10^7-URL production round must NOT ship URLs to the
+    # driver — the driver only moves counts and snapshot ids)
+    collect_batch_urls: bool = True
+    # build the interleaved span payload (documents table, input_hint schema)
+    # for every fetched page inside the round — chunking + link spans. This
+    # is the engine's actual product at training-data scale; enabled in the
+    # benchmark, off in the reference-equivalence oracle (the reference
+    # chunks in a separate spider, hawn — see plans/pipelines.py)
+    build_spans: bool = False
 
 
 @dataclass
@@ -161,19 +189,72 @@ class CrawlEngine:
         self.pages = self.wh.table("pages", PAGES_SCHEMA)
         self.links = self.wh.table("links", LINKS_SCHEMA)
         self.metrics = self.wh.table("metrics", METRICS_SCHEMA)
+        self.documents = self.wh.table(
+            "documents",
+            T.StructType(
+                [T.StructField("doc_id", T.StringType()),
+                 T.StructField("spans", SPANS_TYPE)]
+            ),
+        )
         self.blooms = self.wh.table("seen_bloom", bloom_mod.BLOOM_SCHEMA)
         m, k = bloom_mod.bloom_params(self.config.bloom_capacity, self.config.bloom_fpp)
         self.pb = bloom_mod.PartitionedBloom(m, k)
-        # fetch source: hash-partitioned once, cached — stands in for the web
-        self.corpus = corpus.repartition(
-            self.config.num_partitions, F.col("url")
-        ).cache()
+        # fetch source: hash-partitioned once, cached — stands in for the web.
+        # Partition count ≥ 2×cores so the fetch-join output (which the
+        # CPU-bound extraction inherits) keeps every core busy without ever
+        # shuffling the wide html column.
+        # 4× cores: fine enough that per-task skew in the CPU-bound
+        # extraction averages out instead of leaving straggler waves
+        corpus_parts = max(
+            self.config.num_partitions,
+            4 * spark.sparkContext.defaultParallelism,
+        )
+        self.corpus = corpus.repartition(corpus_parts, F.col("url")).cache()
         self.robots_df = None
         if self.config.robots:
             self.robots_df = spark.createDataFrame(
                 [(h, ps) for h, ps in sorted(self.config.robots.items())],
                 ROBOTS_SCHEMA,
             )
+        # in-memory state between checkpoints (cached DataFrames)
+        self._frontier_df: DataFrame | None = None
+        self._seen_df: DataFrame | None = None
+        self._blooms_df: DataFrame | None = None
+        self._pending_metrics: list[tuple] = []
+        self._dirty = False
+
+    # -- state management --------------------------------------------------------
+    def _load_state(self) -> None:
+        if self._frontier_df is None:
+            self._frontier_df = self.frontier.read().cache()
+        if self._seen_df is None:
+            self._seen_df = self.seen.read().cache()
+        if self._blooms_df is None:
+            self._blooms_df = self.blooms.read().cache()
+
+    def _swap_state(self, frontier_df, seen_df, blooms_df) -> None:
+        for old in (self._frontier_df, self._seen_df, self._blooms_df):
+            if old is not None:
+                old.unpersist()
+        self._frontier_df, self._seen_df, self._blooms_df = (
+            frontier_df, seen_df, blooms_df,
+        )
+
+    def checkpoint(self, round_no: int) -> None:
+        """Snapshot the in-memory state (X5). At real scale seen would get
+        delta-appends; the local store rewrites it (copy-on-write)."""
+        if not self._dirty:
+            return
+        self.frontier.overwrite(self._frontier_df, {"round": round_no})
+        self.seen.overwrite(self._seen_df, {"round": round_no})
+        self.blooms.overwrite(self._blooms_df, {"round": round_no})
+        if self._pending_metrics:
+            self.metrics.append(
+                self.spark.createDataFrame(self._pending_metrics, METRICS_SCHEMA),
+                {"round": round_no},
+            )
+            self._pending_metrics = []
+        self._dirty = False
 
     # -- bootstrap ------------------------------------------------------------
     def bootstrap(self, seeds: list[str]) -> None:
@@ -192,6 +273,9 @@ class CrawlEngine:
             F.col("seed_idx").cast("long").alias("discovery_seq"),
         )
         self.frontier.overwrite(rows, {"round": 0, "op": "bootstrap"})
+        self._swap_state(self.frontier.read().cache(), None, None)
+        self._seen_df = None
+        self._blooms_df = None
 
     # -- one round --------------------------------------------------------------
     def select_batch(self, frontier_df: DataFrame) -> DataFrame:
@@ -217,20 +301,44 @@ class CrawlEngine:
     def run_round(self, round_no: int) -> RoundStats | None:
         cfg = self.config
         t0 = time.time()
-        frontier_df = self.frontier.read()
+        _prof = os.environ.get("CRAWL_PROFILE")
+        _last = [t0]
+
+        def _mark(label):
+            if _prof:
+                now = time.time()
+                print(f"    [prof r{round_no}] {label}: {now - _last[0]:.2f}s", flush=True)
+                _last[0] = now
+
+        self._load_state()
+        frontier_df = self._frontier_df
         batch = self.select_batch(frontier_df).cache()
-        batch_rows = batch.select("url", "batch_seq").orderBy("batch_seq").collect()
-        if not batch_rows:
+        if cfg.collect_batch_urls:
+            batch_rows = batch.select("url", "batch_seq").orderBy("batch_seq").collect()
+            n_batch = len(batch_rows)
+            batch_urls = [r.url for r in batch_rows]
+        else:
+            n_batch = batch.count()
+            batch_urls = []
+        _mark("select_batch")
+        if n_batch == 0:
             batch.unpersist()
             return None
-        batch_urls = [r.url for r in batch_rows]
 
         # S1/J7: fetch = join against the corpus (middlewares.py:104-117
-        # replay pattern); miss or status ≥ 400 → errored (F7)
-        fetched = batch.join(
-            self.corpus.withColumnRenamed("host", "_chost"), on="url", how="left"
-        ).drop("_chost")
-        fetched = fetched.withColumn(
+        # replay pattern); miss or status ≥ 400 → errored (F7).
+        # The batch is broadcast INTO the corpus (inner join) so the wide
+        # html column never moves — extraction inherits the corpus's
+        # partitioning (≥ 2×cores). Misses are recovered with a cheap
+        # anti-join on the (small) batch side. At production scale this
+        # whole stage is a mapInPandas HTTP fetcher with the same schema.
+        hits = self.corpus.drop("host").join(F.broadcast(batch), "url", "inner")
+        misses = (
+            batch.join(self.corpus.select("url"), "url", "left_anti")
+            .withColumn("status", F.lit(None).cast("int"))
+            .withColumn("html", F.lit(None).cast("string"))
+        )
+        fetched = hits.unionByName(misses).withColumn(
             "success", F.col("status").isNotNull() & (F.col("status") < 400)
         ).cache()
 
@@ -245,7 +353,8 @@ class CrawlEngine:
         errored = fetched.filter(~F.col("success")).select(
             "url", "host", "depth", "batch_seq"
         )
-        n_errored = len(batch_urls) - n_scraped
+        _mark("fetch+extract")
+        n_errored = n_batch - n_scraped
 
         # S7: pages upsert (MERGE by url)
         page_rows = extracted.select(
@@ -259,18 +368,37 @@ class CrawlEngine:
             "children",
             "depth",
         )
-        self.pages.upsert(page_rows, key="url", meta={"round": round_no})
+        if cfg.unique_fetch:
+            self.pages.append(page_rows, meta={"round": round_no})
+        else:
+            self.pages.upsert(page_rows, key="url", meta={"round": round_no})
 
+        _mark("pages_write")
         # S10/J6: link edges insert-if-absent
         edges = extracted.select(
             F.col("url").alias("source_url"),
             F.explode("children").alias("destination_url"),
         ).dropDuplicates(["source_url", "destination_url"])
-        new_edges = edges.join(
-            self.links.read(), ["source_url", "destination_url"], "left_anti"
-        )
-        self.links.append(new_edges, {"round": round_no})
+        if cfg.unique_fetch:
+            # src fetched once ⇒ (src,dst) can never repeat across rounds;
+            # within-round dedup above suffices (J6 insert-if-absent holds)
+            self.links.append(edges, {"round": round_no})
+        else:
+            new_edges = edges.join(
+                self.links.read(), ["source_url", "destination_url"], "left_anti"
+            )
+            self.links.append(new_edges, {"round": round_no})
 
+        _mark("links_write")
+        if cfg.build_spans:
+            spans_df = docs_to_spans(
+                fetched.filter("success").select(
+                    F.col("url").alias("doc_id"), "html", "url"
+                ),
+                id_col="doc_id",
+            )
+            self.documents.append(spans_df, {"round": round_no})
+        _mark("spans_write")
         # U1: seen ∪ batch (both outcomes) — BEFORE candidate filtering,
         # matching the reference's file-update order (:839-849)
         seen_add = (
@@ -286,16 +414,19 @@ class CrawlEngine:
                 )
             )
         )
-        self.seen.append(seen_add, {"round": round_no})
+        # localCheckpoint: materialize AND truncate the logical plan —
+        # without it the state lineage grows every round and Catalyst
+        # re-analysis goes exponential (the classic iterative-job trap).
+        # Durability comes from checkpoint() snapshots, not these blocks.
+        seen_new = self._seen_df.unionByName(seen_add).localCheckpoint()
 
         # blooms ⊕ batch
         add_hashes = bloom_mod.with_bloom_hashes(
             seen_add.select("url", "host"), "url", "host", cfg.num_partitions
         ).select("part_id", "h1", "h2")
-        self.blooms.overwrite(
-            self.pb.merge_blobs(self.blooms.read(), add_hashes), {"round": round_no}
-        )
+        blooms_new = self.pb.merge_blobs(self._blooms_df, add_hashes).localCheckpoint()
 
+        _mark("seen+bloom_ckpt")
         # candidates: children at depth+1 ≤ max_depth (O2), discovery order =
         # (src batch_seq, link position), first-occurrence dedup by url
         cand = extracted.filter(F.col("depth") + 1 <= cfg.max_depth).select(
@@ -314,8 +445,9 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        n_candidates = cand.count()
+        n_candidates = cand.count() if cfg.detailed_metrics else -1
 
+        _mark("cand_dedup_window")
         # robots (engine feature; off for reference equivalence)
         cand = cand.withColumn("host", _host(F.col("cand_url")))
         cand = robots_filter(cand, self.robots_df, url_col="cand_url")
@@ -324,17 +456,18 @@ class CrawlEngine:
         cand_h = bloom_mod.with_bloom_hashes(
             cand, "cand_url", "host", cfg.num_partitions
         )
-        probed = self.pb.probe(cand_h, self.blooms.read()).cache()
+        probed = self.pb.probe(cand_h, blooms_new).cache()
         definitely_new = probed.filter(~F.col("maybe_seen"))
         maybe = probed.filter(F.col("maybe_seen"))
-        n_bloom_hits = maybe.count()
+        n_bloom_hits = maybe.count() if cfg.detailed_metrics else -1
         confirmed_new = maybe.join(
-            self.seen.read().select(F.col("url").alias("cand_url")),
+            seen_new.select(F.col("url").alias("cand_url")),
             "cand_url",
             "left_anti",
         )
         new_cand = definitely_new.unionByName(confirmed_new)
 
+        _mark("bloom_probe+anti")
         # not already pending at the same (url, depth) (reference
         # `(url, depth) not in pending`, :610-616) — vs post-removal frontier
         frontier_after_removal = frontier_df.join(
@@ -364,15 +497,19 @@ class CrawlEngine:
             )
         )
 
-        frontier_new = frontier_after_removal.unionByName(new_rows)
-        self.frontier.overwrite(frontier_new, {"round": round_no})
+        frontier_new = frontier_after_removal.unionByName(new_rows).localCheckpoint()
+        # n_new is the north-rule 'deduped' volume — always measured
         n_new = new_rows.count()
-        frontier_size = frontier_new.count()
+        frontier_size = frontier_new.count() if cfg.detailed_metrics else -1
+
+        _mark("frontier_ckpt+counts")
+        self._swap_state(frontier_new, seen_new, blooms_new)
+        self._dirty = True
 
         wall = time.time() - t0
         stats = RoundStats(
             round=round_no,
-            n_batch=len(batch_urls),
+            n_batch=n_batch,
             n_scraped=n_scraped,
             n_errored=n_errored,
             n_candidates=n_candidates,
@@ -382,18 +519,12 @@ class CrawlEngine:
             wall_sec=wall,
             batch_urls=batch_urls,
         )
-        self.metrics.append(
-            self.spark.createDataFrame(
-                [
-                    (
-                        round_no, len(batch_urls), n_scraped, n_errored,
-                        n_candidates, n_new, n_bloom_hits, frontier_size, wall,
-                    )
-                ],
-                METRICS_SCHEMA,
-            ),
-            {"round": round_no},
+        self._pending_metrics.append(
+            (round_no, n_batch, n_scraped, n_errored,
+             n_candidates, n_new, n_bloom_hits, frontier_size, wall)
         )
+        if cfg.checkpoint_every and round_no % cfg.checkpoint_every == 0:
+            self.checkpoint(round_no)
         batch.unpersist()
         fetched.unpersist()
         extracted.unpersist()
@@ -412,11 +543,13 @@ class CrawlEngine:
                 break
             stats.append(s)
             r += 1
+        self.checkpoint(r - 1)  # final checkpoint (no-op if clean)
         return stats
 
     # -- resume (X5) -----------------------------------------------------------
     def last_completed_round(self) -> int:
-        hist = self.metrics.history()
+        """Last CHECKPOINTED round (resume granularity = checkpoint cadence)."""
+        hist = self.frontier.history()
         return max((h["meta"].get("round", 0) for h in hist), default=0)
 
     def resume(self, max_rounds: int = 10_000) -> list[RoundStats]:
@@ -434,3 +567,6 @@ class CrawlEngine:
                 if h["meta"].get("round", -1) <= round_no:
                     target = max(target, h["v"])
             table.rollback_to(target)
+        self._swap_state(None, None, None)
+        self._pending_metrics = []
+        self._dirty = False

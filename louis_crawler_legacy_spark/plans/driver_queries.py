@@ -381,6 +381,10 @@ def _docs_as_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically wrap the plain-text documents table as HTML pages
     so the HTML operators have an in-contract input."""
     d = _t(spark, sf_dir, "documents")
+    # small single-file input → 1 partition; the downstream chunking UDF is
+    # CPU-bound, so spread it across cores (at 100 TB the scan already
+    # yields many partitions and this repartition is a no-op knob)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     return d.select(
         "doc_id",
         F.concat(
@@ -571,7 +575,9 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from louis_crawler_legacy_spark.operators.dedup import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return minhash_lsh_pairs(d, threshold=0.3)
 
 
@@ -579,8 +585,10 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from louis_crawler_legacy_spark.operators.dedup import simhash_pairs
 
-    d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=6)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return simhash_pairs(d, max_hamming=3)
 
 
 # --- similarity search --------------------------------------------------------
@@ -685,3 +693,52 @@ def _register_textstat_oracles() -> None:
 
 
 _register_textstat_oracles()
+
+
+# --- derived pipelines (SURVEY §3.3): hawn chunks + kurt embedding queue ----
+
+@query("p1_hawn_chunks")  # rows-only (chunker is not SQL-expressible)
+def p1_hawn_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.plans.pipelines import hawn_pipeline
+
+    pages = _docs_as_html(spark, sf_dir).withColumnRenamed("html", "html_content")
+    return hawn_pipeline(pages, id_col="url", html_col="html_content").select(
+        "id", "url", "chunk_idx", "title", "token_count"
+    )
+
+
+@query("p2_kurt_embeddings")  # rows-only
+def p2_kurt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from louis_crawler_legacy_spark.plans.pipelines import (
+        hawn_pipeline,
+        kurt_pipeline,
+    )
+
+    pages = _docs_as_html(spark, sf_dir).withColumnRenamed("html", "html_content")
+    chunks = hawn_pipeline(pages, id_col="url", html_col="html_content")
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("token_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("embedding_model", T.StringType()),
+            ]
+        ),
+    )
+    emb = kurt_pipeline(chunks, empty)
+    return emb.select(
+        "token_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            3,
+        ).alias("norm_sq"),
+        "embedding_model",
+    )

@@ -13,8 +13,9 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 # Arrow batch size for pandas UDFs: large enough to amortize Python call
 # overhead for the HTML/chunking UDFs, small enough to bound per-batch memory
-# when html columns are wide.
-ARROW_BATCH_SIZE = 2048
+# when html columns are wide (a 100 KB-page batch of 512 rows ≈ 50 MB —
+# bigger batches drove the JVM into GCLocker retries with 32 workers).
+ARROW_BATCH_SIZE = 512
 
 
 def get_spark(
@@ -46,7 +47,7 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_SIZE)
         )
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

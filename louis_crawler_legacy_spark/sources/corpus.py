@@ -42,6 +42,8 @@ def generate_corpus(
     links_per_page: int = 6,
     error_rate: float = 0.08,
     dangling_rate: float = 0.05,
+    min_words: int = 40,
+    max_words: int = 380,
 ) -> list[dict]:
     """Returns a list of {url, host, status, html} dicts.
 
@@ -64,12 +66,11 @@ def generate_corpus(
         pages[url] = 10_000 + hi
         all_urls.append(url)
 
+    hub_urls = [u for u in all_urls if u.startswith("http://hub0.ca/")]
+
     def pick_target(rng: random.Random) -> str:
         # 50% of links point at the hub host (skew)
-        if rng.random() < 0.5:
-            cands = [u for u in all_urls if u.startswith("http://hub0.ca/")]
-        else:
-            cands = all_urls
+        cands = hub_urls if rng.random() < 0.5 else all_urls
         return rng.choice(cands)
 
     out = []
@@ -78,8 +79,11 @@ def generate_corpus(
         status = 200
         if rng.random() < error_rate:
             status = rng.choice([404, 500, 503])
-        n_words = rng.randint(40, 380)
-        words = " ".join(f"t{rng.randint(0, 96)}" for _ in range(n_words))
+        n_words = rng.randint(min_words, max_words)
+        words = " ".join(
+            f"t{rng.randint(0, 96)}." if i % 17 == 16 else f"t{rng.randint(0, 96)}"
+            for i in range(n_words)
+        )
         links = []
         for j in range(rng.randint(1, links_per_page)):
             r = rng.random()
@@ -135,3 +139,118 @@ def seed_urls(corpus: list[dict], n: int = 2) -> list[str]:
         if c["host"] not in hosts:
             hosts.append(c["host"])
     return [f"http://{h}/page/0" for h in hosts[:n]]
+
+
+def corpus_df_distributed(
+    spark: SparkSession,
+    n_pages: int = 200_000,
+    n_hosts: int = 48,
+    links_per_page: int = 12,
+    min_words: int = 600,
+    max_words: int = 1500,
+    error_pct: int = 5,
+) -> DataFrame:
+    """Benchmark-scale corpus generated ENTIRELY JVM-side from spark.range —
+    no driver-side rows, no Python. Structure mirrors generate_corpus
+    (hot hub host ≈ 1/3 of pages, same link-shape mix) but is addressed by
+    page id so link targets are computable: url(id) is a pure expression.
+
+    At 100 TB this is how you'd smoke-test the engine on a cluster: the
+    corpus materializes lazily, partitioned, with zero driver involvement.
+    """
+    from pyspark.sql import functions as F
+
+    def host_idx(id_col):
+        # 1/3 of pages on the hub (skew), rest spread over the other hosts
+        return F.when(F.pmod(id_col, 3) == 0, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(id_col, F.lit("h")), n_hosts - 1) + 1
+        )
+
+    def url_of(id_col):
+        return F.concat(
+            F.lit("http://h"),
+            host_idx(id_col).cast("string"),
+            F.lit(".ca/page/"),
+            id_col.cast("string"),
+        )
+
+    df = spark.range(n_pages).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    idc = F.col("id")
+    n_words = (
+        F.pmod(F.xxhash64(idc, F.lit("w")), max_words - min_words) + min_words
+    )
+    words = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda i: F.concat(
+                F.lit("t"),
+                F.pmod(F.xxhash64(idc * 10_000 + i), 97).cast("string"),
+                # sentence periods so the chunker's sentence-split path has
+                # real sentences to pack (a '.'-free mega-block is a crash
+                # by reference semantics, chunking.py:100-118)
+                F.when(F.pmod(i, 17) == 16, F.lit(".")).otherwise(F.lit("")),
+            ),
+        ),
+        " ",
+    )
+
+    def link_expr(j: int):
+        r = F.pmod(F.xxhash64(idc, F.lit(f"l{j}")), 100)
+        target = F.pmod(F.xxhash64(idc, F.lit(f"t{j}")), n_pages)
+        target_url = url_of(target)
+        return (
+            F.when(r < 55, target_url)
+            .when(r < 65, F.concat(F.lit("/page/"), target.cast("string")))
+            .when(r < 72, F.concat(F.lit("/doc"), r.cast("string"), F.lit(".pdf")))
+            .when(r < 78, F.lit("#section"))
+            .when(r < 83, F.lit("mailto:info@example.ca"))
+            .when(r < 88, F.concat(F.lit("http://offdomain.example.com/x"), r.cast("string")))
+            .when(r < 93, F.concat(target_url, F.lit("?ref="), r.cast("string")))
+            .otherwise(target_url)
+        )
+
+    anchors = F.concat_ws(
+        "\n",
+        *[
+            F.concat(F.lit('<a href="'), link_expr(j), F.lit('">link</a>'))
+            for j in range(links_per_page)
+        ],
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Page "),
+        idc.cast("string"),
+        F.lit("</title></head><body>\n<nav>nav junk</nav>\n<main>\n"),
+        F.lit("<!-- generator comment -->\n<h1>Section "),
+        idc.cast("string"),
+        F.lit("</h1>\n<aside>aside junk</aside>\n"),
+        F.lit('<div class="alert">alert junk</div>\n<p>'),
+        words,
+        F.lit("</p>\n<time>2024-01-01</time>\n"),
+        anchors,
+        F.lit("\n</main>\n<footer>footer junk</footer>\n</body></html>"),
+    )
+    status = F.when(
+        F.pmod(F.xxhash64(idc, F.lit("s")), 100) < error_pct, F.lit(404)
+    ).otherwise(F.lit(200))
+    return df.select(
+        url_of(idc).alias("url"),
+        F.concat(F.lit("h"), host_idx(idc).cast("string"), F.lit(".ca")).alias("host"),
+        status.alias("status"),
+        html.alias("html"),
+    )
+
+
+def seed_urls_from_corpus(corpus: DataFrame, n: int) -> list[str]:
+    """First n urls by page order — driver pulls only n strings."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        corpus.select("url")
+        .withColumn("_id", F.split(F.col("url"), "/").getItem(4).cast("long"))
+        .orderBy("_id")
+        .limit(n)
+        .collect()
+    )
+    return [r.url for r in rows]

@@ -31,11 +31,29 @@ def politeness_cap(
     order_cols: tuple[str, ...] = ("depth", "discovery_round", "discovery_seq", "url"),
     salt_buckets: int = 0,
     url_col: str = "url",
+    host_budgets: dict[str, int] | None = None,
 ) -> DataFrame:
-    """Keep at most ``budget`` URLs per host per round, by frontier order."""
-    if budget is None:
+    """Keep at most ``budget`` URLs per host per round, by frontier order.
+
+    ``host_budgets`` overrides the budget per host (e.g. derived from a
+    robots.txt Crawl-delay via ``budgets_from_crawl_delays``); hosts not in
+    the map use ``budget``. With both None this is the identity (reference
+    semantics — politeness off)."""
+    if budget is None and not host_budgets:
         return df
     order = [F.col(c) for c in order_cols]
+    default_budget = budget if budget is not None else 2**31 - 1
+    if host_budgets:
+        spark = df.sparkSession
+        budget_df = F.broadcast(
+            spark.createDataFrame(
+                sorted(host_budgets.items()), [host_col, "_host_budget"]
+            )
+        )
+        df = df.join(budget_df, host_col, "left")
+    else:
+        df = df.withColumn("_host_budget", F.lit(None).cast("int"))
+    eff = F.coalesce(F.col("_host_budget"), F.lit(default_budget))
     if salt_buckets and salt_buckets > 1:
         salted = F.concat(
             F.col(host_col),
@@ -45,15 +63,28 @@ def politeness_cap(
         pre = Window.partitionBy(salted).orderBy(*order)
         df = (
             df.withColumn("_pre_rank", F.row_number().over(pre))
-            .filter(F.col("_pre_rank") <= budget)
+            .filter(F.col("_pre_rank") <= eff)
             .drop("_pre_rank")
         )
     w = Window.partitionBy(host_col).orderBy(*order)
     return (
         df.withColumn("_host_rank", F.row_number().over(w))
-        .filter(F.col("_host_rank") <= budget)
-        .drop("_host_rank")
+        .filter(F.col("_host_rank") <= eff)
+        .drop("_host_rank", "_host_budget")
     )
+
+
+def budgets_from_crawl_delays(
+    crawl_delays: dict[str, float], round_period_sec: float
+) -> dict[str, int]:
+    """AutoThrottle analog (reference settings.py:71-78 targets 1 req/host
+    concurrency with adaptive delay): a host with Crawl-delay d gets at most
+    floor(round_period / d) fetches per round, min 1."""
+    return {
+        host: max(1, int(round_period_sec / delay))
+        for host, delay in crawl_delays.items()
+        if delay and delay > 0
+    }
 
 
 def url_path(url: Column) -> Column:

@@ -118,6 +118,8 @@ class CrawlConfig:
     max_depth: int = 4  # run.sh:5
     batch_size: int = 64  # run.sh:5
     host_budget: int | None = None  # per-round per-host cap (None = reference)
+    # per-host overrides, e.g. politeness.budgets_from_crawl_delays(robots)
+    host_budgets: dict[str, int] | None = None
     salt_buckets: int = 0  # >1 enables salted pre-ranking for hot hosts
     num_partitions: int = 8  # host-hash partitions for seen/bloom
     allowed_domains: tuple[str, ...] = ()  # substring match on netloc
@@ -289,7 +291,8 @@ class CrawlEngine:
             .drop("_rn")
         )
         capped = politeness_cap(
-            deduped, cfg.host_budget, salt_buckets=cfg.salt_buckets
+            deduped, cfg.host_budget, salt_buckets=cfg.salt_buckets,
+            host_budgets=cfg.host_budgets,
         )
         batch = capped.orderBy(*order).limit(cfg.batch_size)
         # batch_seq: deterministic position within the batch (for candidate

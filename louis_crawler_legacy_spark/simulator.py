@@ -53,6 +53,7 @@ def simulate_crawl(
     max_depth: int = 4,
     batch_size: int = 64,
     host_budget: int | None = None,
+    host_budgets: dict[str, int] | None = None,
     allowed_domains: tuple[str, ...] = (),
     robots: dict[str, list[str]] | None = None,
     max_rounds: int = 10_000,
@@ -81,7 +82,8 @@ def simulate_crawl(
             if url in res.scraped or url in batch_urls:
                 continue
             host = url.split("/")[2]
-            if host_budget is not None and host_taken.get(host, 0) >= host_budget:
+            cap = (host_budgets or {}).get(host, host_budget)
+            if cap is not None and host_taken.get(host, 0) >= cap:
                 continue
             batch.append((url, depth))
             batch_urls.add(url)

@@ -209,3 +209,43 @@ def test_combine_overflow_raises():
                 {"text_content": "b", "tokens": [1] * 300, "token_count": 300, "title": "u"},
             ]
         )
+
+
+# --- property-based robustness (hypothesis) ---------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def html_docs(draw):
+    """Random heading/paragraph trees with sentence-sized text (≤ 40-token
+    sentences keep us off the documented >409-first-sentence crash edge,
+    which has its own explicit test)."""
+    n_sections = draw(st.integers(1, 6))
+    parts = ["<html><head><title>Doc</title></head><body>"]
+    for s in range(n_sections):
+        level = draw(st.integers(1, 3))
+        parts.append(f"<h{level}>S{s}</h{level}>")
+        for p in range(draw(st.integers(0, 4))):
+            n_sent = draw(st.integers(1, 12))
+            sentences = []
+            for j in range(n_sent):
+                n_words = draw(st.integers(3, 38))
+                sentences.append(" ".join(f"s{s}p{p}w{k % 23}" for k in range(n_words)))
+            parts.append(f"<p>{'. '.join(sentences)}.</p>")
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
+@given(html_docs())
+@settings(max_examples=40, deadline=None)
+def test_chunking_invariants_random_trees(html):
+    chunks = chunking.chunk_html(html, ENC)
+    for c in chunks:
+        assert c["token_count"] <= 512
+        assert len(c["tokens"]) == c["token_count"]
+        assert c["tokens"] == ENC.encode(c["text_content"]) or c["token_count"] == 0
+    # determinism
+    again = chunking.chunk_html(html, ENC)
+    assert [c["tokens"] for c in again] == [c["tokens"] for c in chunks]

@@ -125,3 +125,26 @@ def test_rollback_time_travel(spark, tmp_path):
     assert eng.last_completed_round() == 2
     replay = eng.resume()
     assert [s.batch_urls for s in replay] == [s.batch_urls for s in full[2:]]
+
+
+def test_per_host_crawl_delay_budgets(spark, tmp_path):
+    from louis_crawler_legacy_spark.operators.politeness import (
+        budgets_from_crawl_delays,
+    )
+
+    budgets = budgets_from_crawl_delays(
+        {"hub0.ca": 5.0, "site1.ca": 30.0}, round_period_sec=30
+    )
+    assert budgets == {"hub0.ca": 6, "site1.ca": 1}
+    kwargs = dict(max_depth=2, batch_size=10, host_budget=4, host_budgets=budgets)
+    sim = simulate_crawl(CDICT, SEEDS, **kwargs)
+    eng, stats = run_engine(spark, tmp_path, **kwargs)
+    assert_equivalent(eng, stats, sim)
+    # the cap actually bit: no round fetched more than 6 hub urls
+    for s in stats:
+        per_host = {}
+        for u in s.batch_urls:
+            h = u.split("/")[2]
+            per_host[h] = per_host.get(h, 0) + 1
+        assert per_host.get("hub0.ca", 0) <= 6
+        assert per_host.get("site1.ca", 0) <= 1

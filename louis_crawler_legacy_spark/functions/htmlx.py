@@ -100,11 +100,6 @@ class Element(Node):
         node.parent = self
         self.children.append(node)
 
-    def insert_before_self(self, node: Node) -> None:
-        idx = self.parent.children.index(self)
-        node.parent = self.parent
-        self.parent.children.insert(idx, node)
-
     def wrap(self, wrapper: "Element") -> "Element":
         """Replace self with wrapper in parent; self becomes wrapper's child."""
         parent = self.parent

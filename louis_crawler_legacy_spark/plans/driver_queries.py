@@ -449,9 +449,6 @@ def x_frontier_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal) — first-class components per the build brief.
 # ===========================================================================
 
-_TXT = None  # placeholder to keep module import light
-
-
 # --- text analysis (native columns; exact DuckDB oracles) -------------------
 
 @query(
@@ -742,3 +739,24 @@ def p2_kurt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm_sq"),
         "embedding_model",
     )
+
+
+# --- streaming op (batch twin): watermarked tumbling-window aggregate ------
+# The same plan runs under writeStream (tests/test_streaming.py proves
+# batch/stream equivalence); the oracle mirrors it with date_trunc.
+
+@query(
+    "st1_windowed_events",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def st1_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.streaming.events import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"), window="1 hour")

@@ -86,7 +86,8 @@ class SnapshotTable:
         return self.spark.read.parquet(*dirs)
 
     def is_empty(self) -> bool:
-        return not self._dirs_for_version(self._load_manifest(), None or self.current_version())
+        manifest = self._load_manifest()
+        return not self._dirs_for_version(manifest, manifest["current"])
 
     # -- writes ---------------------------------------------------------------
     def _write_snapshot(self, df: DataFrame, op: str, meta: dict | None) -> int:

@@ -148,3 +148,58 @@ def test_per_host_crawl_delay_budgets(spark, tmp_path):
             per_host[h] = per_host.get(h, 0) + 1
         assert per_host.get("hub0.ca", 0) <= 6
         assert per_host.get("site1.ca", 0) <= 1
+
+
+def test_second_corpus_seed_equality(spark, tmp_path):
+    """Different graph shape (new seed, more hosts, deeper) — guards against
+    the main corpus getting lucky."""
+    corpus2 = corpus_mod.generate_corpus(
+        seed=7, n_hosts=4, pages_per_host=10, hub_factor=3, links_per_page=6,
+        error_rate=0.15, dangling_rate=0.1,
+    )
+    seeds2 = corpus_mod.seed_urls(corpus2, n=3)
+    kwargs = dict(max_depth=3, batch_size=9, host_budget=3)
+    sim = simulate_crawl(corpus_mod.corpus_dict(corpus2), seeds2, **kwargs)
+    cfg = CrawlConfig(num_partitions=4, bloom_capacity=10_000, **kwargs)
+    eng = CrawlEngine(
+        spark, corpus_mod.corpus_df(spark, corpus2), str(tmp_path / "wh"), cfg
+    )
+    stats = eng.run(seeds=seeds2)
+    assert [s.batch_urls for s in stats] == sim.batches
+    seen_rows = eng.seen.read().collect()
+    assert {r.url for r in seen_rows} == sim.seen
+
+
+def test_select_batch_multi_depth_url(spark, tmp_path):
+    """A url pending at two depths: the batch must take its lowest-order
+    entry once; politeness counts it once (reference pending-set semantics,
+    goldie_playwright_parallel.py:647-664)."""
+    from louis_crawler_legacy_spark.plans.crawl import FRONTIER_SCHEMA
+
+    cfg = CrawlConfig(num_partitions=2, bloom_capacity=100, batch_size=3,
+                      host_budget=2)
+    eng = CrawlEngine(
+        spark,
+        corpus_mod.corpus_df(spark, CORPUS),
+        str(tmp_path / "wh"),
+        cfg,
+    )
+    rows = [
+        # (url, host, depth, discovery_round, discovery_seq)
+        ("http://a.ca/1", "a.ca", 2, 1, 1),
+        ("http://a.ca/1", "a.ca", 1, 2, 5),  # same url, lower depth → wins
+        ("http://a.ca/2", "a.ca", 1, 2, 1),
+        ("http://a.ca/3", "a.ca", 1, 2, 2),  # 3rd a.ca url: budget-capped
+        ("http://b.ca/1", "b.ca", 1, 2, 9),
+    ]
+    frontier = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    batch = eng.select_batch(frontier).orderBy("batch_seq").collect()
+    got = [(r.url, r.depth) for r in batch]
+    # order: depth 1 first, by (discovery_round, discovery_seq, url);
+    # a.ca budget 2 → /1 (seq 5? no — /2 seq1, /3 seq2 come first), then
+    # b.ca/1; batch_size 3
+    assert got == [
+        ("http://a.ca/2", 1),
+        ("http://a.ca/3", 1),
+        ("http://b.ca/1", 1),
+    ]

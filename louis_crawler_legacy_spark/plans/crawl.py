@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -371,8 +372,15 @@ class CrawlEngine:
             "children",
             "depth",
         )
+        # the three output writes (pages/links/spans) are independent of the
+        # candidate-dedup path and of each other — run them as concurrent
+        # Spark jobs off the round's critical path (joined before the round
+        # closes so failures still surface in-round)
+        out_pool = ThreadPoolExecutor(max_workers=3)
+        out_futures = []
         if cfg.unique_fetch:
-            self.pages.append(page_rows, meta={"round": round_no})
+            out_futures.append(out_pool.submit(
+                self.pages.append, page_rows, {"round": round_no}))
         else:
             self.pages.upsert(page_rows, key="url", meta={"round": round_no})
 
@@ -385,7 +393,8 @@ class CrawlEngine:
         if cfg.unique_fetch:
             # src fetched once ⇒ (src,dst) can never repeat across rounds;
             # within-round dedup above suffices (J6 insert-if-absent holds)
-            self.links.append(edges, {"round": round_no})
+            out_futures.append(out_pool.submit(
+                self.links.append, edges, {"round": round_no}))
         else:
             new_edges = edges.join(
                 self.links.read(), ["source_url", "destination_url"], "left_anti"
@@ -400,7 +409,8 @@ class CrawlEngine:
                 ),
                 id_col="doc_id",
             )
-            self.documents.append(spans_df, {"round": round_no})
+            out_futures.append(out_pool.submit(
+                self.documents.append, spans_df, {"round": round_no}))
         _mark("spans_write")
         # U1: seen ∪ batch (both outcomes) — BEFORE candidate filtering,
         # matching the reference's file-update order (:839-849)
@@ -506,6 +516,10 @@ class CrawlEngine:
         frontier_size = frontier_new.count() if cfg.detailed_metrics else -1
 
         _mark("frontier_ckpt+counts")
+        for fut in out_futures:
+            fut.result()  # surface output-write failures in-round
+        out_pool.shutdown()
+
         self._swap_state(frontier_new, seen_new, blooms_new)
         self._dirty = True
 

@@ -95,8 +95,11 @@ def ngram_jaccard_pairs(
     the shuffle is on the block key, and AQE's skew-join handles a hot
     block. For unblocked all-pairs at scale use minhash_lsh_pairs."""
     if block_expr is None:
+        # F.get (not getItem): out-of-bounds → NULL instead of an ANSI
+        # ArrayIndexOutOfBounds crash on 1-word texts; concat_ws skips
+        # NULLs, matching the DuckDB oracle's concat_ws(w[1], w[2])
         w = F.split(F.trim(F.col(text_col)), r"\s+")
-        block_expr = F.concat_ws(" ", w.getItem(0), w.getItem(1))
+        block_expr = F.concat_ws(" ", F.get(w, 0), F.get(w, 1))
     base = df.select(
         F.col(id_col).alias("id"),
         block_expr.alias("block"),
@@ -250,6 +253,22 @@ def minhash_lsh_pairs(
 _BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
 
 
+def poly_hash(col: Column, mod: int = 1_000_000_007) -> Column:
+    """SQL-portable word hash: fold codepoints as (acc*31 + cp) % mod.
+
+    The ORACLE-MODE hash: DuckDB cannot compute xxhash64, but both engines
+    can compute this (DuckDB: list_reduce over generate_series + ascii).
+    ~30 bits — pair it with nbits=32 SimHash. The engine default stays
+    xxhash64/64-bit; this exists so the driver gate can check SimHash
+    values exactly instead of rows-only."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * 31 + F.coalesce(F.ascii(col.substr(i, F.lit(1))), F.lit(0)))
+        % mod,
+    )
+
+
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over word hashes: bit i set iff Σ sign(word_hash bit i)
     > 0. Column-expression form for small inputs/tests; the scale path is
@@ -278,26 +297,33 @@ def simhash64(text: Column) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
     """(id, sh: long) — relational SimHash: one row per distinct word hash,
-    64 conditional-sum aggregates in one pass, bits reassembled by addition
-    (disjoint masks). Same single-shuffle profile as minhash_signatures."""
+    nbits conditional-sum aggregates in one pass, bits reassembled by
+    addition (disjoint masks). Same single-shuffle profile as
+    minhash_signatures. hash_fn (default xxhash64) is injectable so the
+    driver oracle can use the SQL-portable poly_hash with nbits=32."""
+    hash_fn = hash_fn or F.xxhash64
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias(
             "w"
         ),
-    ).select("id", F.xxhash64("w").alias("h"))
+    ).select("id", hash_fn(F.col("w")).alias("h"))
     aggs = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(_BIT_MASKS[i])) != 0, 1).otherwise(-1)
         ).alias(f"_b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     sums = exploded.groupBy("id").agg(*aggs)
     sh = None
-    for i in range(64):
+    for i in range(nbits):
         term = F.when(F.col(f"_b{i}") > 0, F.lit(_BIT_MASKS[i]).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -315,12 +341,16 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     bands: int = 4,
+    nbits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
-    Hamming ≤ 3·16/64… pigeonhole: ≤ bands−1 differing bands guarantees one
-    equal band for hamming < bands), verify with exact Hamming distance."""
-    sh = simhash_signatures(df, id_col, text_col)
-    bits_per_band = 64 // bands
+    """Near-dup pairs by SimHash: block on nbits/bands-bit bands
+    (pigeonhole: a pair with hamming < bands shares at least one equal
+    band, so for max_hamming ≤ bands−1 the banded candidates are EXACTLY
+    all qualifying pairs — which is what makes the d5 oracle checkable),
+    verify with exact Hamming distance."""
+    sh = simhash_signatures(df, id_col, text_col, nbits=nbits, hash_fn=hash_fn)
+    bits_per_band = nbits // bands
     band_mask = (1 << bits_per_band) - 1
     banded = sh.select(
         "id",

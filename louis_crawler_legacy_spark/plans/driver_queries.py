@@ -118,7 +118,8 @@ def j3_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a4_pred_count",
     """
     SELECT count(*) AS total,
-           sum(CASE WHEN regexp_matches(text, 'data') THEN 1 ELSE 0 END) AS n_match
+           CAST(sum(CASE WHEN regexp_matches(text, 'data') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match
     FROM documents
     """,
 )
@@ -539,17 +540,17 @@ def d2_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d3_ngram_jaccard",
     """
     WITH sh AS (
-      SELECT doc_id,
+      SELECT doc_id, trim(text) AS t,
              string_split_regex(trim(text), '\\s+') AS w,
-             concat(string_split_regex(trim(text), '\\s+')[1], ' ',
-                    string_split_regex(trim(text), '\\s+')[2]) AS block
+             concat_ws(' ', string_split_regex(trim(text), '\\s+')[1],
+                            string_split_regex(trim(text), '\\s+')[2]) AS block
       FROM documents
     ), shingled AS (
       SELECT doc_id, block,
              CASE WHEN len(w) >= 3 THEN
                list_distinct(list_transform(generate_series(1, len(w) - 2),
                  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
-             ELSE [trim(concat(w[1], ' '))] END AS sh
+             ELSE [t] END AS sh
       FROM sh
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -578,14 +579,54 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, threshold=0.3)
 
 
-@query("d5_simhash")  # rows-only
+def _d5_oracle(nbits: int = 32, max_hamming: int = 3) -> str:
+    """Exact DuckDB twin of simhash_pairs(hash_fn=poly_hash, nbits=32):
+    the banded LSH blocking is exhaustive for max_hamming ≤ bands−1
+    (pigeonhole), so the oracle is simply ALL pairs with hamming ≤ k over
+    the same 32-bit signatures — generated programmatically so the bit
+    aggregates stay in lockstep with the Spark implementation."""
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(nbits)
+    )
+    sig = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(nbits))
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, len(w)),
+                              i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
+               (acc, b) -> (acc * 31 + b) % 1000000007) AS h
+      FROM words
+    ), sums AS (
+      SELECT doc_id, {sums} FROM hashed GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, CAST({sig} AS BIGINT) AS sh FROM sums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+@query("d5_simhash", _d5_oracle())
 def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from louis_crawler_legacy_spark.operators.dedup import simhash_pairs
+    from louis_crawler_legacy_spark.operators.dedup import poly_hash, simhash_pairs
 
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return simhash_pairs(d, max_hamming=3)
+    # oracle mode: SQL-portable poly hash + 32-bit signatures (exact DuckDB
+    # twin above); the engine default stays xxhash64/64-bit, pinned by
+    # tests/test_dedup.py planted-dup cases
+    pairs = simhash_pairs(d, max_hamming=3, nbits=32, hash_fn=poly_hash)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 # --- similarity search --------------------------------------------------------
@@ -701,6 +742,51 @@ def p1_hawn_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _docs_as_html(spark, sf_dir).withColumnRenamed("html", "html_content")
     return hawn_pipeline(pages, id_col="url", html_col="html_content").select(
         "id", "url", "chunk_idx", "title", "token_count"
+    )
+
+
+# Exact oracle for the hawn chunker's conserved quantities. Per doc the
+# synthetic page is one h1-block ("Doc {id} {text}"); the chunker emits
+#  n<256   → 1 chunk via parent-climb, title = the <title> text 'doc {id}'
+#  256-512 → 1 chunk as-is,        title = the <h1> text   'Doc {id}'
+#  >512    → sentence-split + 409-bucket first-fit, every chunk titled
+#            'Doc {id}'; bucketing isn't SQL, but token MASS is conserved:
+#            sentences drop exactly the '.' pieces, so sum(token_count)
+#            = full_count − n_periods.
+# Token counts are StableHashEncoder semantics (functions/tokenizer.py):
+# per regex piece [A-Za-z0-9]+|[^\sA-Za-z0-9], ceil(len/8) tokens.
+@query(
+    "p1b_hawn_token_mass",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             concat('Doc ', CAST(doc_id AS VARCHAR), ' ', text) AS ftxt
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             list_sum(list_transform(
+               regexp_extract_all(ftxt, '[A-Za-z0-9]+|[^\\sA-Za-z0-9]'),
+               p -> CAST(ceil(len(p) / 8.0) AS BIGINT))) AS n,
+             len(ftxt) - len(replace(ftxt, '.', '')) AS dots
+      FROM t
+    )
+    SELECT concat('http://corpus.local/doc/', CAST(doc_id AS VARCHAR)) AS url,
+           CASE WHEN n > 512 THEN concat('Doc ', CAST(doc_id AS VARCHAR))
+                WHEN n >= 256 THEN concat('Doc ', CAST(doc_id AS VARCHAR))
+                ELSE concat('doc ', CAST(doc_id AS VARCHAR)) END AS title,
+           CAST(CASE WHEN n > 512 THEN n - dots ELSE n END AS BIGINT)
+             AS total_tokens
+    FROM c
+    """,
+)
+def p1b_hawn_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.plans.pipelines import hawn_pipeline
+
+    pages = _docs_as_html(spark, sf_dir).withColumnRenamed("html", "html_content")
+    chunks = hawn_pipeline(pages, id_col="url", html_col="html_content")
+    return chunks.groupBy("url").agg(
+        F.min("title").alias("title"),
+        F.sum("token_count").alias("total_tokens"),
     )
 
 

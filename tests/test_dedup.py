@@ -104,3 +104,18 @@ def test_simhash_near_dups(spark, docs_df):
     assert (0, 2000) in got and (1, 2001) in got  # exact dups: hamming 0
     found_planted = sum(1 for p in PLANTED if p in got)
     assert found_planted >= 5, f"simhash found only {found_planted}/10 planted"
+
+
+def test_ngram_jaccard_short_texts(spark):
+    """1-and-2-word texts: shingles fall back to the whole trimmed text and
+    the blocking key must not crash (ANSI getItem) nor diverge from the
+    DuckDB oracle's concat_ws semantics (ADVICE r01)."""
+    from louis_crawler_legacy_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(1, "hello"), (2, "hello"), (3, "hello world"),
+            (4, "hello world"), (5, "  hello  "), (6, "x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(df, threshold=0.2).collect()}
+    # identical after trim: (1,2), (1,5), (2,5); two-word dup (3,4)
+    assert pairs == {(1, 2): 1.0, (1, 5): 1.0, (2, 5): 1.0, (3, 4): 1.0}

@@ -30,14 +30,19 @@ from louis_crawler_legacy_spark.functions.htmlx import (
 def extract_page_fields(
     html: str, url: str, allowed_domains: list[str] | None
 ) -> dict:
-    # ONE parse per page: links/title/time read from the tree first,
-    # clean_soup mutates it last (same results as the reference, which runs
-    # each extraction over the full response object)
+    # ONE parse per page. Order matters and follows the reference worker:
+    # clean_content_worker runs FIRST (goldie_playwright_parallel.py:162)
+    # and its .drop() calls mutate scrapy's cached selector tree, so the
+    # later a::attr(href) pass (:183) never sees links inside dropped junk
+    # within <main>. goldie does the same (clean at goldie.py:14, children
+    # at :23). title/<time> live outside <main> in practice; we read them
+    # pre-clean (goldie's literal order, goldie.py:11-13).
     soup = parse_html(html)
     t = soup.title
     title = t.get_text() if t is not None else ""
     time_el = soup.root.find("time")
     last_updated = time_el.get_text() if time_el is not None else None
+    content = clean_soup(soup, parallel_variant=True)
     hrefs = [
         a.attrs["href"] for a in soup.root.find_all("a") if a.attrs.get("href")
     ]
@@ -52,7 +57,7 @@ def extract_page_fields(
     return {
         "title": title,
         "lang": "fr" if ".ca/fr" in url else "en",
-        "content": clean_soup(soup, parallel_variant=True),
+        "content": content,
         "last_updated": last_updated or None,
         "children": children,
     }

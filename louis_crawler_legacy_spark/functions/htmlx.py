@@ -388,17 +388,28 @@ def clean_html(html: str, parallel_variant: bool = True) -> str:
 
 
 def clean_soup(soup: Soup, parallel_variant: bool = True) -> str:
-    """clean_html over an already-parsed tree (MUTATES the tree — run link/
-    title extraction first)."""
+    """clean_html over an already-parsed tree (MUTATES the tree — the
+    reference order is clean FIRST, then collect links from the mutated
+    tree; see functions/extract.py).
+
+    Junk selectors are dropped ONLY when <main> exists — the reference
+    body-fallback takes body.get() verbatim with no drops
+    (goldie_playwright_parallel.py:265-267); comment removal applies to
+    both paths (:270-280). goldie's clean() has no fallback at all (it
+    would crash on main.get() == None); we use the parallel fallback for
+    both variants."""
     main = soup.root.find("main")
-    scope = main if main is not None else soup.body
-    drop_tags = DROP_TAGS_PARALLEL if parallel_variant else DROP_TAGS
-    for tag in drop_tags:
-        for el in scope.find_all(tag):
-            el.extract()
-    for cls in DROP_CLASSES:
-        for el in scope.find_all(class_=cls):
-            el.extract()
+    if main is not None:
+        scope = main
+        drop_tags = DROP_TAGS_PARALLEL if parallel_variant else DROP_TAGS
+        for tag in drop_tags:
+            for el in scope.find_all(tag):
+                el.extract()
+        for cls in DROP_CLASSES:
+            for el in scope.find_all(class_=cls):
+                el.extract()
+    else:
+        scope = soup.body
     for n in list(scope.iter()):
         if isinstance(n, CommentNode):
             n.parent.children.remove(n)

@@ -106,12 +106,18 @@ def generate_corpus(
             else:
                 links.append(pick_target(rng) + f"?ref={rng.randrange(9)}")
         anchors = "\n".join(f'<a href="{l}">link</a>' for l in links)
+        # Trap + nav links pin the reference's clean-before-extract order
+        # (goldie_playwright_parallel.py:162 vs :183): links inside junk
+        # dropped from <main> (aside here) are NEVER crawled; links outside
+        # <main> (the top nav) ARE — clean only mutates within <main>.
+        trap = f'<a href="http://{host}/trap/aside/{pages[url]}">trap</a>'
+        nav_link = f'<a href="/page/0">home</a>'
         html = (
             f"<html><head><title>Page {pages[url]} of {host}</title></head><body>\n"
-            f"<nav>nav junk</nav>\n"
+            f"<nav>nav junk {nav_link}</nav>\n"
             f"<main>\n<!-- generator comment -->\n"
             f"<h1>Section {pages[url]}</h1>\n"
-            f"<aside>aside junk</aside>\n"
+            f"<aside>aside junk {trap}</aside>\n"
             f'<div class="alert">alert junk</div>\n'
             f"<p>{words}</p>\n"
             f"<time>2024-0{1 + pages[url] % 9}-01</time>\n"
@@ -221,10 +227,16 @@ def corpus_df_distributed(
     html = F.concat(
         F.lit("<html><head><title>Page "),
         idc.cast("string"),
-        F.lit("</title></head><body>\n<nav>nav junk</nav>\n<main>\n"),
+        F.lit('</title></head><body>\n<nav>nav junk <a href="'),
+        url_of(idc),
+        F.lit('">self</a></nav>\n<main>\n'),
         F.lit("<!-- generator comment -->\n<h1>Section "),
         idc.cast("string"),
-        F.lit("</h1>\n<aside>aside junk</aside>\n"),
+        # trap link inside dropped junk — must never reach the frontier
+        # (clean-before-extract order, see generate_corpus)
+        F.lit('</h1>\n<aside>aside junk <a href="http://trap.invalid/'),
+        idc.cast("string"),
+        F.lit('">trap</a></aside>\n'),
         F.lit('<div class="alert">alert junk</div>\n<p>'),
         words,
         F.lit("</p>\n<time>2024-01-01</time>\n"),

@@ -62,6 +62,56 @@ def test_extract_children_order_preserving_dedup():
     ]
 
 
+TRAP_PAGE = """
+<html><head><title>Trap</title></head>
+<body>
+<nav>outer nav <a href="/from-outer-nav">keep</a></nav>
+<main>
+  <h1>H</h1>
+  <aside><a href="/from-aside">drop</a></aside>
+  <nav><a href="/from-inner-nav">drop</a></nav>
+  <footer><a href="/from-inner-footer">drop</a></footer>
+  <div class="alert"><a href="/from-alert">drop</a></div>
+  <p>body <a href="/from-main">keep</a></p>
+</main>
+<footer>outer footer <a href="/from-outer-footer">keep</a></footer>
+</body></html>
+"""
+
+
+def test_links_inside_dropped_junk_are_not_extracted():
+    """Reference order: clean_content_worker mutates the shared tree BEFORE
+    a::attr(href) runs (goldie_playwright_parallel.py:162,183) — links inside
+    junk dropped from <main> are never crawled; links outside <main> survive
+    (drops are scoped to the main selector)."""
+    from louis_crawler_legacy_spark.functions.extract import extract_page_fields
+
+    fields = extract_page_fields(TRAP_PAGE, "http://x.ca/page", None)
+    assert fields["children"] == [
+        "http://x.ca/from-outer-nav",
+        "http://x.ca/from-main",
+        "http://x.ca/from-outer-footer",
+    ]
+    assert "from-main" in fields["content"]
+    assert "from-aside" not in fields["content"]
+
+
+def test_body_fallback_drops_nothing():
+    """No <main> → reference takes body.get() verbatim (only comments
+    removed, goldie_playwright_parallel.py:265-280): junk text AND its links
+    survive."""
+    from louis_crawler_legacy_spark.functions.extract import extract_page_fields
+
+    html = (
+        "<html><body><!-- c --><aside>aside kept "
+        '<a href="/aside-link">L</a></aside><p>text</p></body></html>'
+    )
+    fields = extract_page_fields(html, "http://x.ca/", None)
+    assert fields["children"] == ["http://x.ca/aside-link"]
+    assert "aside kept" in fields["content"]
+    assert "<!--" not in fields["content"]  # comments removed in fallback too
+
+
 def test_fragment_parse_gets_body():
     soup = htmlx.parse_html("<p>hello</p><p>world</p>")
     assert soup.body.get_text() == "helloworld"

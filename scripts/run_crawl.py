@@ -22,7 +22,12 @@ import sys
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--corpus", required=True, help="parquet path: url,host,status,html")
+    p.add_argument("--corpus", help="parquet path: url,host,status,html "
+                                    "(omit with --fetcher http)")
+    p.add_argument("--fetcher", choices=["corpus", "http"], default="corpus",
+                   help="'http' = production mapInPandas fetcher "
+                        "(sources/fetcher.py); 'corpus' = replay join")
+    p.add_argument("--fetch-timeout", type=float, default=60.0)
     p.add_argument("--warehouse", required=True)
     p.add_argument("--seeds", help="text file, one URL per line")
     p.add_argument("--max-depth", type=int, default=4)
@@ -62,8 +67,13 @@ def main() -> None:
         build_spans=args.build_spans,
         collect_batch_urls=False,
         detailed_metrics=False,
+        fetcher=args.fetcher,
+        fetch_timeout=args.fetch_timeout,
     )
-    eng = CrawlEngine(spark, spark.read.parquet(args.corpus), args.warehouse, cfg)
+    if args.fetcher == "corpus" and not args.corpus:
+        sys.exit("--corpus required unless --fetcher http")
+    corpus = spark.read.parquet(args.corpus) if args.corpus else None
+    eng = CrawlEngine(spark, corpus, args.warehouse, cfg)
 
     if args.resume:
         stats = eng.resume(max_rounds=args.max_rounds)

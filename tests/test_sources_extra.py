@@ -108,3 +108,44 @@ def test_spark_submit_cli(tmp_path):
         capture_output=True, text=True, env=env, timeout=300,
     )
     assert out2.returncode == 0, out2.stderr[-2000:]
+
+
+def test_storage_stats_cli(tmp_path):
+    """scripts/storage_stats.py — the reference storage_manager twin
+    (stats / recent / search over the warehouse, storage_manager.py:57-223)."""
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from louis_crawler_legacy_spark.session import get_spark
+    from louis_crawler_legacy_spark.sources import corpus as cm
+
+    spark = get_spark(cpus="4")
+    corpus = cm.generate_corpus(seed=42, n_hosts=2, pages_per_host=5,
+                                links_per_page=3)
+    wh = str(tmp_path / "wh")
+    eng = CrawlEngine(spark, cm.corpus_df(spark, corpus), wh,
+                      CrawlConfig(max_depth=1, batch_size=8, num_partitions=2,
+                                  bloom_capacity=1_000))
+    eng.run(seeds=cm.seed_urls(corpus, n=1))
+    n_pages = eng.pages.read().count()
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def cli(*args):
+        out = subprocess.run(
+            [sys.executable, "/root/repo/scripts/storage_stats.py",
+             "--warehouse", wh, *args],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    stats = cli("stats")
+    assert stats["pages"] == n_pages and stats["links"] > 0
+
+    recent = cli("recent", "-n", "3")
+    assert len(recent) == min(3, n_pages)
+    crawled = [r["last_crawled"] for r in recent]
+    assert crawled == sorted(crawled, reverse=True)
+
+    found = cli("search", "PAGE/0")  # case-insensitive, like ILIKE
+    assert any(r["url"].endswith("/page/0") for r in found)
+    assert cli("search", "zzz-no-match") == []

@@ -203,33 +203,49 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
-    # explode to (band, band_hash) bucket keys — the ONLY shuffle key
-    banded = sig.select(
-        "id",
-        "sig",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
+    # explode to (band, band_hash) bucket keys — the ONLY shuffle key. The
+    # full band-hash array rides along so pair ownership can be decided
+    # WITHOUT a dedup shuffle (min-band ownership below).
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
                 ),
             )
-        ).alias("band", "band_hash"),
+        ),
+    )
+    banded = sig.withColumn("bands", band_arr).select(
+        "id", "sig", "bands",
+        F.posexplode(F.col("bands")).alias("band", "band_hash"),
     )
     left = banded.select("band", "band_hash", F.col("id").alias("id_a"),
-                         F.col("sig").alias("sig_a"))
+                         F.col("sig").alias("sig_a"),
+                         F.col("bands").alias("bands_a"))
     right = banded.select("band", "band_hash", F.col("id").alias("id_b"),
-                          F.col("sig").alias("sig_b"))
+                          F.col("sig").alias("sig_b"),
+                          F.col("bands").alias("bands_b"))
+    # min-band ownership: a pair matching in k bands would surface k times;
+    # emit it ONLY from its lowest matching band (no earlier band equal) —
+    # a free filter instead of dropDuplicates, so duplicate candidate pairs
+    # from hot bands are never materialized or shuffled at all.
+    # CASE WHEN is lazily evaluated — for band 0 the sequence/element_at
+    # branch (which would be sequence(1,0) = [1,0] under Spark's descending
+    # rule) never runs
+    no_earlier_match = F.when(F.col("band") == 0, F.lit(True)).otherwise(
+        ~F.exists(
+            F.sequence(F.lit(1), F.col("band")),
+            lambda j: F.element_at(F.col("bands_a"), j)
+            == F.element_at(F.col("bands_b"), j),
+        )
+    )
     cand = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(no_earlier_match)
     )
     sim = F.size(
         F.filter(
@@ -352,28 +368,37 @@ def simhash_pairs(
     sh = simhash_signatures(df, id_col, text_col, nbits=nbits, hash_fn=hash_fn)
     bits_per_band = nbits // bands
     band_mask = (1 << bits_per_band) - 1
-    banded = sh.select(
-        "id",
-        "sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sh"), b * bits_per_band).bitwiseAND(
-                        F.lit(band_mask).cast("long")
-                    )
-                    for b in range(bands)
-                ]
+    band_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sh"), b * bits_per_band).bitwiseAND(
+                F.lit(band_mask).cast("long")
             )
-        ).alias("band", "band_val"),
+            for b in range(bands)
+        ]
+    )
+    banded = sh.withColumn("bands", band_arr).select(
+        "id", "sh", "bands",
+        F.posexplode(F.col("bands")).alias("band", "band_val"),
     )
     left = banded.select("band", "band_val", F.col("id").alias("id_a"),
-                         F.col("sh").alias("sh_a"))
+                         F.col("sh").alias("sh_a"),
+                         F.col("bands").alias("bands_a"))
     right = banded.select("band", "band_val", F.col("id").alias("id_b"),
-                          F.col("sh").alias("sh_b"))
+                          F.col("sh").alias("sh_b"),
+                          F.col("bands").alias("bands_b"))
+    # min-band ownership (see minhash_lsh_pairs): emit each pair only from
+    # its lowest matching band — a filter, not a dedup shuffle
+    no_earlier_match = F.when(F.col("band") == 0, F.lit(True)).otherwise(
+        ~F.exists(
+            F.sequence(F.lit(1), F.col("band")),
+            lambda j: F.element_at(F.col("bands_a"), j)
+            == F.element_at(F.col("bands_b"), j),
+        )
+    )
     cand = (
         left.join(right, ["band", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(no_earlier_match)
     )
     return (
         cand.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))

@@ -132,24 +132,42 @@ def lsh_topk(
     tables; exact cosine re-rank within candidates. Recall ≈ 1-(1-p)^T.
     At 100 TB the corpus side is bucketed at write time (partition columns
     (table, bucket)), so a query reads n_tables buckets, not the table."""
-    c = corpus.select(
-        id_col,
-        vec_col,
-        F.explode(lsh_buckets_multi(F.col(vec_col), dim, n_planes, n_tables)).alias(
-            "tb"
+    c_b = corpus.withColumn(
+        "bkts",
+        F.transform(
+            lsh_buckets_multi(F.col(vec_col), dim, n_planes, n_tables),
+            lambda tb: tb["bucket"],
         ),
-    ).select(id_col, vec_col, "tb.table", "tb.bucket")
-    q = queries.select(
-        query_id_col,
-        query_vec_col,
-        F.explode(
-            lsh_buckets_multi(F.col(query_vec_col), dim, n_planes, n_tables)
-        ).alias("tb"),
-    ).select(query_id_col, query_vec_col, "tb.table", "tb.bucket")
+    )
+    c = c_b.select(
+        id_col, vec_col, "bkts",
+        F.posexplode(F.col("bkts")).alias("table", "bucket"),
+    )
+    q_b = queries.withColumn(
+        "qbkts",
+        F.transform(
+            lsh_buckets_multi(F.col(query_vec_col), dim, n_planes, n_tables),
+            lambda tb: tb["bucket"],
+        ),
+    )
+    q = q_b.select(
+        query_id_col, query_vec_col, "qbkts",
+        F.posexplode(F.col("qbkts")).alias("table", "bucket"),
+    )
+    # min-table ownership instead of dropDuplicates: a (vec, query) pair
+    # colliding in several tables is emitted only from its lowest matching
+    # table — duplicate candidates never materialize or shuffle
+    no_earlier = F.when(F.col("table") == 0, F.lit(True)).otherwise(
+        ~F.exists(
+            F.sequence(F.lit(1), F.col("table")),
+            lambda j: F.element_at(F.col("bkts"), j)
+            == F.element_at(F.col("qbkts"), j),
+        )
+    )
     joined = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col(id_col) != F.col(query_id_col))
-        .dropDuplicates([id_col, query_id_col])
+        .filter(no_earlier)
     )
     scored = joined.select(
         F.col(query_id_col),
@@ -182,11 +200,10 @@ def embedding_near_dup_pairs(
     )
     left = c.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     right = c.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
-    pairs = (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # single-table LSH: each vector has exactly ONE bucket, so a pair can
+    # match at most once — no dedup needed at all (the r01 dropDuplicates
+    # here was a pure no-op shuffle)
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
             "cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)

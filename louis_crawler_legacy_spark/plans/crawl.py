@@ -434,7 +434,10 @@ class CrawlEngine:
         # candidate-dedup path and of each other — run them as concurrent
         # Spark jobs off the round's critical path (joined before the round
         # closes so failures still surface in-round)
-        out_pool = ThreadPoolExecutor(max_workers=3)
+        # 3 output writes + the seen-state materialization below must all
+        # get a slot immediately (a queued job serializes behind span
+        # chunking)
+        out_pool = ThreadPoolExecutor(max_workers=5)
         out_futures = []
         if cfg.unique_fetch:
             out_futures.append(out_pool.submit(
@@ -492,13 +495,16 @@ class CrawlEngine:
         # without it the state lineage grows every round and Catalyst
         # re-analysis goes exponential (the classic iterative-job trap).
         # Durability comes from checkpoint() snapshots, not these blocks.
-        seen_new = self._seen_df.unionByName(seen_add).localCheckpoint()
-
-        # blooms ⊕ batch
+        # seen and bloom are independent — materialize them as concurrent
+        # jobs (both read the already-cached extraction output).
         add_hashes = bloom_mod.with_bloom_hashes(
             seen_add.select("url"), "url", cfg.num_partitions
         ).select("part_id", "h1", "h2")
+        seen_fut = out_pool.submit(
+            lambda: self._seen_df.unionByName(seen_add).localCheckpoint()
+        )
         blooms_new = self.pb.merge_blobs(self._blooms_df, add_hashes).localCheckpoint()
+        seen_new = seen_fut.result()
 
         _mark("seen+bloom_ckpt")
         # candidates: children at depth+1 ≤ max_depth (O2), discovery order =

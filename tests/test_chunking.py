@@ -355,3 +355,32 @@ def test_chunking_simple_fragment_structure():
                  "last high-level title, sibling to the first"):
         assert frag in text
     assert chunks[0]["token_count"] == len(ENC.encode(text))
+
+
+def test_chunking_sample2_titles_golden():
+    """Reference test_chunking_sample2 (test_chunking.py:93-131): the set
+    of chunk titles over a real CFIA glossary page. Encoder-robust (title
+    chains with equal titles collapse) — matches the reference golden
+    verbatim under the fallback encoder."""
+    chunks = chunking.chunk_html(_fixture("1430250287405"), ENC)
+    assert sorted(set(c["title"] for c in chunks)) == [
+        "A", "B", "C", "D", "E", "F", "G", "I", "L", "M", "N", "O", "P",
+        "Q", "R", "S", "T", "V", "Z", "À retenir",
+    ]
+
+
+def test_chunking_sample1_runs():
+    """Reference test_chunking_sample1 (:82-92): the page chunks without
+    error and respects the 512 invariant."""
+    chunks = chunking.chunk_html(_fixture("1547741756885"), ENC)
+    assert chunks
+    assert all(c["token_count"] <= 512 for c in chunks)
+
+
+def test_chunking_summary_details_min_size():
+    """Reference test_chunking_with_summary_details_block (:175-180):
+    every chunk is > 32 tokens on the summary/details page."""
+    chunks = chunking.chunk_html(_fixture("1648871138011"), ENC)
+    assert chunks
+    for c in chunks:
+        assert c["token_count"] > 32, f"{c['text_content'][:60]} too short"

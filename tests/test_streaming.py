@@ -67,3 +67,64 @@ def test_metrics_stream_over_crawl_output(spark, tmp_path):
     row = spark.sql("SELECT * FROM m").collect()[0]
     assert row.total_scheduled > 0
     assert row.latest_round >= 1
+
+
+def test_host_sessions_stateful_matches_batch(spark, tmp_path):
+    """applyInPandasWithState per-host session operator: cumulative state
+    across micro-batches — the FINAL per-host snapshot equals a plain batch
+    groupBy over the same events (bounded-input contract)."""
+    import pandas as pd
+
+    from louis_crawler_legacy_spark.streaming.sessions import (
+        FETCH_EVENT_SCHEMA,
+        host_sessions,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    batch1 = [("a.ca", f"http://a.ca/{i}", 1000 + i, i % 3 != 0) for i in range(20)]
+    batch1 += [("b.ca", f"http://b.ca/{i}", 2000 + i, True) for i in range(5)]
+    batch2 = [("a.ca", f"http://a.ca/x{i}", 3000 + i, False) for i in range(7)]
+    batch2 += [("c.ca", f"http://c.ca/{i}", 4000 + i, True) for i in range(3)]
+    for name, rows in (("b1", batch1), ("b2", batch2)):
+        spark.createDataFrame(rows, FETCH_EVENT_SCHEMA).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    stream = (
+        spark.readStream.schema(FETCH_EVENT_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        host_sessions(stream)
+        .writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    snap = spark.sql("SELECT * FROM sessions").toPandas()
+    # last snapshot per host (multiple triggers → multiple update rows)
+    final = (
+        snap.sort_values(["host", "n_fetches"]).groupby("host").tail(1)
+        .set_index("host")
+    )
+    all_events = pd.DataFrame(
+        batch1 + batch2, columns=["host", "url", "ts", "ok"]
+    )
+    want = all_events.groupby("host").agg(
+        n_fetches=("url", "size"),
+        n_errors=("ok", lambda s: int((~s).sum())),
+        first_ts=("ts", "min"),
+        last_ts=("ts", "max"),
+    )
+    for host in ("a.ca", "b.ca", "c.ca"):
+        got = final.loc[host]
+        exp = want.loc[host]
+        for colname in ("n_fetches", "n_errors", "first_ts", "last_ts"):
+            assert int(got[colname]) == int(exp[colname]), (host, colname)

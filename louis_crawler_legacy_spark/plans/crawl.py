@@ -170,6 +170,17 @@ class CrawlConfig:
     build_spans: bool = False
 
 
+class _FutureGroup:
+    """Join several futures as one (surfacing the first failure)."""
+
+    def __init__(self, futures):
+        self._futures = futures
+
+    def result(self):
+        for f in self._futures:
+            f.result()
+
+
 @dataclass
 class RoundStats:
     round: int
@@ -250,6 +261,13 @@ class CrawlEngine:
         # in-flight, joined before state swap / reads / shutdown
         self._ckpt_pool = ThreadPoolExecutor(max_workers=1)
         self._ckpt_future = None
+        # output appends (pages/links/documents) run as concurrent jobs and
+        # DRAIN ACROSS ROUND BOUNDARIES: round k's span chunking overlaps
+        # round k+1's fetch/extract. They are joined before any state
+        # checkpoint that covers them (so a committed checkpoint implies
+        # its outputs landed) and before reads/rollback/run-end.
+        self._out_pool = ThreadPoolExecutor(max_workers=5)
+        self._out_tasks: list[tuple] = []  # (future, [dfs to unpersist])
 
     # -- state management --------------------------------------------------------
     def _load_state(self) -> None:
@@ -267,6 +285,16 @@ class CrawlEngine:
         if fut is not None:
             fut.result()
 
+    def _drain_outputs(self) -> None:
+        """Join all in-flight output appends (surfacing failures), then
+        release the cached DataFrames they were reading."""
+        tasks, self._out_tasks = self._out_tasks, []
+        for fut, _ in tasks:
+            fut.result()
+        for _, dfs in tasks:
+            for df in dfs:
+                df.unpersist()
+
     def _swap_state(self, frontier_df, seen_df, blooms_df) -> None:
         # an in-flight checkpoint reads the OLD state DataFrames — join it
         # before unpersisting them
@@ -283,12 +311,20 @@ class CrawlEngine:
         snapshot writes overlap the next round's compute (the state
         DataFrames are already materialized via localCheckpoint, so the
         background thread only runs parquet-write jobs). At real scale seen
-        would get delta-appends; the local store rewrites (copy-on-write)."""
+        would get delta-appends; the local store rewrites (copy-on-write).
+
+        Output appends for rounds ≤ N are joined INSIDE the background
+        write, before the snapshot commits: a committed round-N checkpoint
+        implies every output row for rounds ≤ N landed (crash-resume rolls
+        outputs back to the last checkpoint, so this ordering is what makes
+        that sound) — while the in-flight output jobs still overlap the
+        next round's compute."""
         if self._dirty:
             self._join_checkpoint()  # keep snapshot commits ordered
+            out_tasks, self._out_tasks = self._out_tasks, []
             state = (
                 self._frontier_df, self._seen_df, self._blooms_df,
-                list(self._pending_metrics),
+                list(self._pending_metrics), out_tasks,
             )
             self._pending_metrics = []
             self._dirty = False
@@ -297,9 +333,17 @@ class CrawlEngine:
             )
         if wait:
             self._join_checkpoint()
+            self._drain_outputs()
 
     def _write_checkpoint(self, round_no: int, state: tuple) -> None:
-        frontier_df, seen_df, blooms_df, pending_metrics = state
+        frontier_df, seen_df, blooms_df, pending_metrics, out_tasks = state
+        # outputs first: the snapshot must not commit before its rounds'
+        # appends are durable
+        for fut, _ in out_tasks:
+            fut.result()
+        for _, dfs in out_tasks:
+            for df in dfs:
+                df.unpersist()
         self.frontier.overwrite(frontier_df, {"round": round_no})
         self.seen.overwrite(seen_df, {"round": round_no})
         self.blooms.overwrite(blooms_df, {"round": round_no})
@@ -432,12 +476,12 @@ class CrawlEngine:
         )
         # the three output writes (pages/links/spans) are independent of the
         # candidate-dedup path and of each other — run them as concurrent
-        # Spark jobs off the round's critical path (joined before the round
-        # closes so failures still surface in-round)
-        # 3 output writes + the seen-state materialization below must all
-        # get a slot immediately (a queued job serializes behind span
-        # chunking)
-        out_pool = ThreadPoolExecutor(max_workers=5)
+        # Spark jobs off the round's critical path, draining across round
+        # boundaries (joined by the next checkpoint / run end, so round k's
+        # span chunking overlaps round k+1's fetch+extract). The pool has a
+        # slot for every output plus the seen-state materialization below —
+        # nothing queues behind span chunking.
+        out_pool = self._out_pool
         out_futures = []
         if cfg.unique_fetch:
             out_futures.append(out_pool.submit(
@@ -592,9 +636,9 @@ class CrawlEngine:
         frontier_size, n_new = int(sizes["sz"]), int(sizes["nn"])
 
         _mark("frontier_ckpt+counts")
-        for fut in out_futures:
-            fut.result()  # surface output-write failures in-round
-        out_pool.shutdown()
+        # outputs keep running into the next round; extracted stays cached
+        # until they drain (its cache backs the span/page/link jobs)
+        self._out_tasks.append((_FutureGroup(out_futures), [extracted]))
 
         self._swap_state(frontier_new, seen_new, blooms_new)
         self._dirty = True
@@ -619,8 +663,9 @@ class CrawlEngine:
         if cfg.checkpoint_every and round_no % cfg.checkpoint_every == 0:
             self.checkpoint(round_no)  # async — overlaps the next round
         fetched.unpersist()
-        extracted.unpersist()
         probed.unpersist()
+        # extracted is unpersisted by _drain_outputs once its output
+        # appends complete
         return stats
 
     def run(self, seeds: list[str] | None = None, max_rounds: int = 10_000,
@@ -666,6 +711,7 @@ class CrawlEngine:
         """Time-travel every state AND output table back to the end of
         ``round_no``."""
         self._join_checkpoint()
+        self._drain_outputs()
         for table in (self.frontier, self.seen, self.pages, self.links,
                       self.metrics, self.blooms, self.documents):
             target = 0

@@ -149,6 +149,7 @@ def test_crash_resume_no_duplicate_outputs(spark, tmp_path):
     for r in (1, 2, 3):
         assert eng1.run_round(r) is not None
     eng1._join_checkpoint()  # let the async round-2 snapshot land
+    eng1._drain_outputs()  # and round-3's in-flight output appends
     assert eng1.last_completed_round() == 2
     n_pages_dirty = eng1.pages.read().count()
 

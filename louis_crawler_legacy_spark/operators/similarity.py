@@ -211,3 +211,98 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other scale path from the build brief
+# ---------------------------------------------------------------------------
+
+def _lit_vec(values) -> Column:
+    return F.lit([float(x) for x in values])
+
+
+def _centroid_scores(vec: Column, centroids: list, round_scale: int) -> Column:
+    """array<struct<s,nj>> of rounded cosine scores per centroid; nj = -j so
+    array ordering (max / sort) breaks score ties toward the LOWEST index —
+    the same total order the SQL oracle's ORDER BY s DESC, j ASC uses.
+    Rounding before the argmax keeps the cell assignment reproducible
+    across engines (raw float argmax is representation-sensitive)."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(cosine(vec, _lit_vec(c)), round_scale).alias("s"),
+                F.lit(-j).alias("nj"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_cell(vec: Column, centroids: list, round_scale: int = 6) -> Column:
+    """Nearest-centroid cell id (argmax cosine, ties → lowest index)."""
+    best = F.array_max(_centroid_scores(vec, centroids, round_scale))
+    return (-best["nj"]).cast("int")
+
+
+def ivf_probe_cells(vec: Column, centroids: list, nprobe: int,
+                    round_scale: int = 6) -> Column:
+    """The nprobe nearest cells for a query, best first."""
+    ordered = F.reverse(F.array_sort(_centroid_scores(vec, centroids, round_scale)))
+    return F.transform(
+        F.slice(ordered, 1, nprobe), lambda st: (-st["nj"]).cast("int")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-flat ANN: assign every corpus vector to its nearest-centroid
+    cell, probe each query's nprobe nearest cells, exact cosine re-rank
+    within the probed cells.
+
+    Centroids here are the first n_centroids corpus vectors by id —
+    deterministic and SQL-reproducible, so the driver oracle checks the
+    whole pipeline exactly; a real deployment swaps in k-means|| output and
+    the plan is unchanged. Scale shape: the cell id is a write-time
+    partition column at 100 TB, so a query reads nprobe partitions instead
+    of the table; candidates join on the cell key only; a (query, neighbor)
+    pair can't repeat (one cell per corpus vector), so no dedup shuffle."""
+    cents = [
+        v for _, v in sorted(
+            (r[0], list(r[1]))
+            for r in corpus.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col).collect()
+        )
+    ]
+    cells = corpus.withColumn("cell", ivf_cell(F.col(vec_col), cents))
+    qcells = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(
+            ivf_probe_cells(F.col(query_vec_col), cents, nprobe)
+        ).alias("cell"),
+    )
+    joined = cells.join(F.broadcast(qcells), "cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cos_sim")
+    )

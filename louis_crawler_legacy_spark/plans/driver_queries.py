@@ -673,6 +673,67 @@ def s2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, _queries_df(spark, sf_dir), dim=dim, k=5, n_planes=8)
 
 
+# IVF-flat ANN with an EXACT oracle: centroids are the first 8 corpus
+# vectors (deterministic, derivable in SQL), cell assignment rounds scores
+# to 6 decimals before the argmax so both engines agree, re-rank rounds to
+# 4 like s1. A (query, neighbor) pair can't repeat (one cell per vector),
+# so both sides are distinct-free.
+@query(
+    "s4_ivf_topk",
+    """
+    WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT corp.vec_id, cent.j,
+             round(list_dot_product(v, cv) /
+                   greatest(sqrt(list_dot_product(v, v)) *
+                            sqrt(list_dot_product(cv, cv)), 1e-12), 6) AS s
+      FROM corp, cent
+    ),
+    cells AS (
+      SELECT vec_id, j AS cell FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, j AS cell FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
+        FROM scored WHERE vec_id < 5
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT q.query_id, cl.vec_id AS neighbor_id
+      FROM qprobe q JOIN cells cl ON cl.cell = q.cell
+      WHERE cl.vec_id != q.query_id
+    ),
+    rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(nv.v, qv.v) /
+                   greatest(sqrt(list_dot_product(nv.v, nv.v)) *
+                            sqrt(list_dot_product(qv.v, qv.v)), 1e-12), 4)
+               AS cos_sim
+      FROM cand c
+      JOIN corp nv ON nv.vec_id = c.neighbor_id
+      JOIN corp qv ON qv.vec_id = c.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM rescored
+    ) WHERE rank <= 5
+    """,
+)
+def s4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, _queries_df(spark, sf_dir), n_centroids=8, nprobe=2, k=5)
+
+
 @query("s3_embedding_near_dup")  # rows-only
 def s3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from louis_crawler_legacy_spark.operators.similarity import (

@@ -176,3 +176,32 @@ def test_textstats_match_python(spark):
     assert langs[0] == "en"
     assert langs[1] == "fr"
     assert langs[2] == "de"
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """With nprobe = n_centroids every cell is probed, so IVF must return
+    EXACTLY the brute-force top-k; with nprobe=2 it returns a subset-ranked
+    approximation with decent recall on the testdata."""
+    from louis_crawler_legacy_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from louis_crawler_legacy_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    want = {(r.query_id, r.rank): r.neighbor_id
+            for r in brute_force_topk(e, q, k=5).collect()}
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in ivf_topk(e, q, n_centroids=8, nprobe=8, k=5).collect()}
+    assert got == want
+
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(e, q, n_centroids=8, nprobe=2, k=5).collect()}
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(e, q, k=5).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.4, recall  # nprobe=2 of 8 cells on near-orthogonal data

@@ -163,18 +163,22 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 64,
     shingle_n: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """(id, sig: array<long>) — the scale path.
 
     explode(shingles) → one row per (doc, shingle-hash), then num_perm
     min() aggregates in ONE hash aggregate: each shingle is hashed once,
     partial aggregation collapses per-partition, the only shuffle is the
-    groupBy on doc id. At 100 TB this is a single pass + one exchange."""
+    groupBy on doc id. At 100 TB this is a single pass + one exchange.
+    hash_fn (default xxhash64) is injectable so the driver oracle can use
+    the SQL-portable poly_hash (DuckDB can't compute xxhash64)."""
+    hash_fn = hash_fn or F.xxhash64
     a_const, b_const = _perm_constants(num_perm)
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
-    ).select("id", (F.abs(F.xxhash64("s")) % MERSENNE_P).alias("h"))
+    ).select("id", (F.abs(hash_fn(F.col("s"))) % MERSENNE_P).alias("h"))
     aggs = [
         F.min((F.lit(a_const[i]) * F.col("h") + F.lit(b_const[i])) % MERSENNE_P).alias(
             f"_m{i}"
@@ -195,20 +199,25 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    hash_fn=None,
+    band_hash_fn=None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + signature-similarity verification.
 
     bands=16 over 64 perms → rows=4 → s-curve midpoint ≈ (1/16)^(1/4) ≈ 0.5.
-    Output: (id_a, id_b, sim) where sim = fraction of equal minhashes."""
+    Output: (id_a, id_b, sim) where sim = fraction of equal minhashes.
+    hash_fn / band_hash_fn (defaults: xxhash64) are injectable for the
+    SQL-portable oracle mode (see driver_queries d4)."""
     assert num_perm % bands == 0
+    band_hash_fn = band_hash_fn or F.xxhash64
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, hash_fn)
     # explode to (band, band_hash) bucket keys — the ONLY shuffle key. The
     # full band-hash array rides along so pair ownership can be decided
     # WITHOUT a dedup shuffle (min-band ownership below).
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
+        lambda b: band_hash_fn(
             F.concat_ws(
                 ",",
                 F.transform(

@@ -569,14 +569,100 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.2)
 
 
-@query("d4_minhash_lsh")  # rows-only: xxhash64 not reproducible in DuckDB
+def _d4_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.3) -> str:
+    """Exact DuckDB twin of minhash_lsh_pairs(hash_fn=poly_hash,
+    band_hash_fn=poly_hash): same shingles (d3's CTE), same permutation
+    constants (imported from the implementation so they stay in lockstep),
+    same band hashes. The oracle states the SEMANTICS (distinct any-band
+    candidates + signature similarity); the Spark plan's min-band ownership
+    is a physical strategy producing the same set."""
+    from louis_crawler_legacy_spark.operators.dedup import (
+        MERSENNE_P,
+        _perm_constants,
+    )
+
+    a_const, b_const = _perm_constants(num_perm)
+    rows = num_perm // bands
+    mins = ", ".join(
+        f"min(({a_const[i]} * h + {b_const[i]}) % {MERSENNE_P}) AS m{i}"
+        for i in range(num_perm)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(num_perm)) + "]"
+    band_strs = ", ".join(
+        "concat_ws(','," + ",".join(
+            f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+        ) + f") AS bs{b}"
+        for b in range(bands)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, len(bs{b})), "
+        f"i -> CAST(ascii(substr(bs{b}, i, 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % 1000000007) AS bh FROM bandstr"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh0 AS (
+      SELECT doc_id, trim(text) AS t,
+             string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+             ELSE [t] END AS sh
+      FROM sh0
+    ), hashed AS (
+      SELECT doc_id,
+             abs(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, len(s)),
+                              i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007)) % {MERSENNE_P} AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+    ), mins AS (
+      SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {sig_list} AS sig FROM mins
+    ), bandstr AS (
+      SELECT doc_id, {band_strs} FROM mins
+    ), bandkeys AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_filter(generate_series(1, {num_perm}),
+                                 i -> sa.sig[i] = sb.sig[i])) / {num_perm}.0,
+                 4) AS sim
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE len(list_filter(generate_series(1, {num_perm}),
+                          i -> sa.sig[i] = sb.sig[i])) / {num_perm}.0
+          >= {threshold}
+    """
+
+
+@query("d4_minhash_lsh", _d4_oracle())
 def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from louis_crawler_legacy_spark.operators.dedup import minhash_lsh_pairs
+    from louis_crawler_legacy_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        poly_hash,
+    )
 
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return minhash_lsh_pairs(d, threshold=0.3)
+    # oracle mode: SQL-portable poly hash for shingles AND band keys (exact
+    # DuckDB twin above); the engine default stays xxhash64, pinned by the
+    # planted-dup tests
+    return minhash_lsh_pairs(
+        d, threshold=0.3, hash_fn=poly_hash, band_hash_fn=poly_hash
+    )
 
 
 def _d5_oracle(nbits: int = 32, max_hamming: int = 3) -> str:

@@ -44,7 +44,9 @@ HEADLINE = [
     "a5_per_user_session",
     "o5_per_key_budget",
     "t4_fingerprint",
-    "d4_minhash_lsh",
+    # engine-default hashes — d4_minhash_lsh is the oracle-mode twin whose
+    # portable char-folding hash is deliberately slow
+    "d4x_minhash_lsh_engine",
     "s1_cosine_topk",
     "x_chunk_documents",
 ]

@@ -699,6 +699,21 @@ def _d5_oracle(nbits: int = 32, max_hamming: int = 3) -> str:
     """
 
 
+@query("d4x_minhash_lsh_engine")  # rows-only: the ENGINE-default hashes
+def d4x_minhash_lsh_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production MinHash-LSH path (xxhash64 shingle + band hashes —
+    ~9x faster than the char-folding oracle-mode hash; this is what runs at
+    100 TB and what bench.py measures). Values pinned by the d4 exact
+    oracle on the identical plan with portable hashes, plus the planted-dup
+    tests."""
+    from louis_crawler_legacy_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return minhash_lsh_pairs(d, threshold=0.3)
+
+
 @query("d5_simhash", _d5_oracle())
 def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from louis_crawler_legacy_spark.operators.dedup import poly_hash, simhash_pairs

@@ -162,6 +162,12 @@ class CrawlConfig:
     # reference's 60 s worker timeout)
     fetcher: str = "corpus"
     fetch_timeout: float = 60.0
+    # broadcast the batch into the corpus scan (right while batches fit the
+    # broadcast budget — the html column never shuffles). At 10^7-row
+    # production batches the broadcast is GB-scale: set False to let
+    # AQE/Catalyst pick the join (shuffle-hash on url is the safe fallback;
+    # the corpus side is already hash-partitioned by url)
+    broadcast_batch: bool = True
     # build the interleaved span payload (documents table, input_hint schema)
     # for every fetched page inside the round — chunking + link spans. This
     # is the engine's actual product at training-data scale; enabled in the
@@ -437,7 +443,8 @@ class CrawlEngine:
 
             fetched_raw = http_fetch(batch, timeout=cfg.fetch_timeout)
         else:
-            hits = self.corpus.drop("host").join(F.broadcast(batch), "url", "inner")
+            batch_side = F.broadcast(batch) if cfg.broadcast_batch else batch
+            hits = self.corpus.drop("host").join(batch_side, "url", "inner")
             misses = (
                 batch.join(self.corpus.select("url"), "url", "left_anti")
                 .withColumn("status", F.lit(None).cast("int"))

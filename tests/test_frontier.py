@@ -279,3 +279,22 @@ def test_select_batch_multi_depth_url(spark, tmp_path):
         ("http://a.ca/3", 1),
         ("http://b.ca/1", 1),
     ]
+
+
+def test_broadcast_batch_knob_equivalent(spark, tmp_path):
+    """broadcast_batch=False (the 10^7-row-batch fallback: AQE picks the
+    join) must produce identical crawl results."""
+    kwargs = dict(max_depth=1, batch_size=10)
+    cdf = corpus_mod.corpus_df(spark, CORPUS)
+    a = CrawlEngine(spark, cdf, str(tmp_path / "wa"),
+                    CrawlConfig(num_partitions=4, bloom_capacity=10_000,
+                                **kwargs))
+    b = CrawlEngine(spark, cdf, str(tmp_path / "wb"),
+                    CrawlConfig(num_partitions=4, bloom_capacity=10_000,
+                                broadcast_batch=False, **kwargs))
+    sa = a.run(seeds=SEEDS)
+    sb = b.run(seeds=SEEDS)
+    assert [s.batch_urls for s in sa] == [s.batch_urls for s in sb]
+    assert sorted(r.url for r in a.pages.read().collect()) == sorted(
+        r.url for r in b.pages.read().collect()
+    )

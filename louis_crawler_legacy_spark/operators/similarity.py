@@ -306,3 +306,86 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-time bucketed ANN index — the 100 TB layout, materialized
+# ---------------------------------------------------------------------------
+
+def write_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus ONCE, partitioned by (table, bucket) — the
+    write-time half of LSH ANN at scale. Storage is n_tables× the corpus
+    (each vector lands in one bucket per table); queries then read only
+    their matching (table, bucket) partitions instead of scanning the
+    corpus (see lsh_topk_indexed)."""
+    exploded = corpus.select(
+        id_col,
+        vec_col,
+        F.explode(lsh_buckets_multi(F.col(vec_col), dim, n_planes, n_tables)).alias(
+            "tb"
+        ),
+    ).select(id_col, vec_col, F.col("tb.table").alias("table"),
+             F.col("tb.bucket").alias("bucket"))
+    exploded.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN over the write-time bucketed index: the broadcast query-bucket
+    join triggers DYNAMIC PARTITION PRUNING on (table, bucket), so the scan
+    touches only the queries' buckets — at 100 TB that is n_tables×|Q|
+    partitions, not the table (tests assert the pruning subquery is in the
+    plan). Same candidates + ranking as the in-memory lsh_topk."""
+    idx = spark.read.parquet(index_path)
+    q_b = queries.withColumn(
+        "qbkts",
+        F.transform(
+            lsh_buckets_multi(F.col(query_vec_col), dim, n_planes, n_tables),
+            lambda tb: tb["bucket"],
+        ),
+    )
+    q = q_b.select(
+        query_id_col, query_vec_col, "qbkts",
+        F.posexplode(F.col("qbkts")).alias("table", "bucket"),
+    )
+    # min-table ownership needs the CORPUS row's per-table buckets; rather
+    # than store them redundantly in every partition, dedup the (neighbor,
+    # query) pairs after the pruned join — the candidate set here is
+    # already bucket-sized, so the dedup is tiny
+    joined = (
+        idx.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .dropDuplicates([id_col, query_id_col])
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cos_sim")
+    )

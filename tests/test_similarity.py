@@ -205,3 +205,35 @@ def test_ivf_full_probe_equals_brute_force(spark):
              for r in brute_force_topk(e, q, k=5).collect()}
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.4, recall  # nprobe=2 of 8 cells on near-orthogonal data
+
+
+def test_lsh_indexed_matches_inmemory_and_prunes(spark, tmp_path):
+    """Write-time bucketed index: (1) same neighbor sets as the in-memory
+    lsh_topk (modulo identical candidates — both see any-bucket matches);
+    (2) the query plan carries a dynamic-partition-pruning subquery on the
+    (table, bucket) partition columns — the 100 TB property: a query reads
+    its buckets, not the corpus."""
+    from louis_crawler_legacy_spark.operators.similarity import (
+        lsh_topk,
+        lsh_topk_indexed,
+        write_lsh_index,
+    )
+    from louis_crawler_legacy_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(e, path, dim=dim, n_planes=4, n_tables=2)
+
+    got = lsh_topk_indexed(spark, path, q, dim=dim, k=5, n_planes=4, n_tables=2)
+    want = lsh_topk(e, q, dim=dim, k=5, n_planes=4, n_tables=2)
+    as_set = lambda df: {(r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+                         for r in df.collect()}
+    assert as_set(got) == as_set(want)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "partition pruning missing"

@@ -765,7 +765,64 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, _queries_df(spark, sf_dir), k=5)
 
 
-@query("s2_lsh_ann_topk")  # rows-only (approximate by construction)
+# LSH ANN with an EXACT oracle: the random hyperplanes are deterministic
+# constants (similarity._hyperplane), so the oracle inlines them as DOUBLE[]
+# literals and recomputes the sign-pattern buckets in SQL — the candidate
+# set (pairs sharing a bucket in ANY table) and the re-rank are then fully
+# derivable. Approximate vs brute force, but bit-reproducible across engines
+# (sign flips would need |dot| within float-fold error of 0 — never observed;
+# cos itself is rounded to 4 like s1). Spark's min-table pair ownership ≡
+# the oracle's SELECT DISTINCT.
+def _plane_lit(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _bucket_sql(vec: str, dim: int, n_planes: int, table: int = 0) -> str:
+    from louis_crawler_legacy_spark.operators.similarity import _hyperplane
+
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, "
+        f"{_plane_lit(_hyperplane(dim, table * 1_000 + i))}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _s2_oracle(dim: int = 64, n_planes: int = 8, n_tables: int = 4) -> str:
+    per_table = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, v, {t} AS tbl, "
+        f"{_bucket_sql('v', dim, n_planes, t)} AS bucket FROM c"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+{per_table}
+    ),
+    qb AS (SELECT vec_id AS query_id, v AS qv, tbl, bucket FROM cb
+           WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.query_id, q.qv, c.vec_id AS neighbor_id, c.v
+      FROM cb c JOIN qb q USING (tbl, bucket)
+      WHERE c.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(v, qv) /
+                   greatest(sqrt(list_dot_product(v, v)) *
+                            sqrt(list_dot_product(qv, qv)), 1e-12), 4) AS cos_sim
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("s2_lsh_ann_topk", _s2_oracle())
 def s2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from louis_crawler_legacy_spark.operators.similarity import lsh_topk
 
@@ -835,7 +892,26 @@ def s4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, _queries_df(spark, sf_dir), n_centroids=8, nprobe=2, k=5)
 
 
-@query("s3_embedding_near_dup")  # rows-only
+# Near-dup twin of the s2 oracle: single-table 10-plane buckets, self-join,
+# exact cosine verify at the same 4-decimal rounding. One bucket per vector
+# → a pair matches at most once, so no DISTINCT is needed on either side.
+def _s3_oracle(dim: int = 64, n_planes: int = 10, threshold: float = 0.35) -> str:
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT vec_id, v, {_bucket_sql('v', dim, n_planes)} AS bucket FROM c),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v) /
+                   greatest(sqrt(list_dot_product(a.v, a.v)) *
+                            sqrt(list_dot_product(b.v, b.v)), 1e-12), 4) AS cos_sim
+      FROM cb a JOIN cb b USING (bucket)
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+    """
+
+
+@query("s3_embedding_near_dup", _s3_oracle())
 def s3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from louis_crawler_legacy_spark.operators.similarity import (
         embedding_near_dup_pairs,

@@ -1,0 +1,351 @@
+"""Partitioned cuckoo-filter URL-seen set — the north rule's alternative to
+the Bloom layer (operators/bloom.py), selectable via
+``CrawlConfig(seen_filter="cuckoo")``.
+
+Why a cuckoo filter next to the Bloom filter:
+
+- **deletable**: fingerprints can be removed (``delete_blobs``), which a
+  Bloom bitmap cannot do — the hook for recrawl/TTL workloads where a URL's
+  "seen" mark expires and it becomes fetchable again,
+- **bounded lookups**: a probe reads exactly two 4-slot buckets (plus a
+  tiny overflow stash), independent of occupancy,
+- **lower fpp per bit at high load**: 16-bit fingerprints give
+  fpp ≈ 2·b/2^16 ≈ 1.2e-4 at ~84% load.
+
+Same two-stage dedup contract as the Bloom layer: **a miss is definitively
+new** (zero false negatives — overflowing inserts go to an exact stash
+instead of being dropped, so the filter never forgets), only hits take the
+exact left-anti join. Same physical shape too: one blob row per URL-hash
+partition (``part_id, bits, n_items``), cogrouped applyInPandas so each
+task touches exactly one blob, all per-row work vectorized numpy — the
+kick loop iterates over *attempt rounds* (each round a full-array numpy
+pass with first-writer-wins conflict resolution), never over rows.
+
+Hashing reuses the JVM-side columns from bloom.with_bloom_hashes:
+h1 → bucket index, h2 → 16-bit fingerprint. The alternate bucket is the
+standard partial-key involution i2 = i1 XOR (fp · K) (Fan et al.,
+"Cuckoo Filter: Practically Better Than Bloom", CoNEXT 2014), so a stored
+fingerprint's other bucket is derivable from where it sits.
+
+Blob layout (little-endian): uint64 n_buckets | uint64 n_stash |
+uint16 table[n_buckets * 4] | uint64 stash_keys[n_stash], where a stash
+key is (min(i1, i2) << 16) | fp — canonical-bucket keyed so probe and
+delete find it from either bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from louis_crawler_legacy_spark.operators.bloom import BLOOM_SCHEMA
+
+SLOTS = 4
+_FP_MASK = np.uint64(0xFFFF)
+_ALT_K = np.uint64(0x5BD1E995)  # odd multiplier scatters the 16-bit fp
+_MAX_KICK_ROUNDS = 250
+
+_HEADER = np.dtype(np.uint64).itemsize * 2
+
+
+def cuckoo_buckets(expected_n: int, load: float = 0.84) -> int:
+    """Power-of-two bucket count holding expected_n fingerprints at ~load."""
+    need = max(int(np.ceil(max(expected_n, 1) / (SLOTS * load))), 2)
+    return 1 << int(need - 1).bit_length()
+
+
+def _fingerprint(h2: np.ndarray) -> np.ndarray:
+    """16-bit fingerprint from the second URL hash. The full 64 bits are
+    avalanche-mixed first (murmur3 finalizer) so the fingerprint stays
+    decorrelated from the bucket index even if a caller derives h2 from h1
+    (production h1/h2 are independent xxhash64 salts, but a plain low-16
+    truncation would make correlated inputs degenerate: fp ↔ bucket
+    bijection ⇒ every fp collision becomes a false positive). 0 is the
+    empty-slot sentinel, so fp 0 maps to 1 (a 1/65536 fpp bump)."""
+    x = h2.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    fp = x & _FP_MASK
+    return np.where(fp == 0, np.uint64(1), fp).astype(np.uint16)
+
+
+def _bucket1(h1: np.ndarray, nb: int) -> np.ndarray:
+    return (h1.astype(np.uint64) & np.uint64(nb - 1)).astype(np.int64)
+
+
+def _alt_bucket(b: np.ndarray, fp: np.ndarray, nb: int) -> np.ndarray:
+    """Involution: alt(alt(b, fp), fp) == b."""
+    mix = (fp.astype(np.uint64) * _ALT_K) & np.uint64(nb - 1)
+    return (b.astype(np.uint64) ^ mix).astype(np.int64)
+
+
+def _stash_keys_of(b: np.ndarray, fp: np.ndarray, nb: int) -> np.ndarray:
+    cmin = np.minimum(b, _alt_bucket(b, fp, nb)).astype(np.uint64)
+    return (cmin << np.uint64(16)) | fp.astype(np.uint64)
+
+
+def empty_filter(nb: int) -> bytes:
+    return serialize(np.zeros((nb, SLOTS), dtype=np.uint16),
+                     np.zeros(0, dtype=np.uint64))
+
+
+def serialize(table: np.ndarray, stash: np.ndarray) -> bytes:
+    header = np.array([table.shape[0], len(stash)], dtype=np.uint64)
+    return header.tobytes() + table.tobytes() + stash.tobytes()
+
+
+def deserialize(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    nb, ns = np.frombuffer(blob[:_HEADER], dtype=np.uint64)
+    nb, ns = int(nb), int(ns)
+    t_end = _HEADER + nb * SLOTS * 2
+    table = (
+        np.frombuffer(blob[_HEADER:t_end], dtype=np.uint16)
+        .reshape(nb, SLOTS)
+        .copy()
+    )
+    stash = np.frombuffer(blob[t_end:t_end + ns * 8], dtype=np.uint64).copy()
+    return table, stash
+
+
+def probe_filter(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Vectorized membership → bool array. No false negatives by
+    construction (stash catches what the table couldn't place)."""
+    if len(h1) == 0:
+        return np.zeros(0, dtype=bool)
+    table, stash = deserialize(blob)
+    nb = table.shape[0]
+    fp = _fingerprint(np.asarray(h2))
+    b1 = _bucket1(np.asarray(h1), nb)
+    b2 = _alt_bucket(b1, fp, nb)
+    hit = (table[b1] == fp[:, None]).any(axis=1)
+    hit |= (table[b2] == fp[:, None]).any(axis=1)
+    if len(stash):
+        hit |= np.isin(_stash_keys_of(b1, fp, nb), stash)
+    return hit
+
+
+def insert_many(
+    table: np.ndarray, stash: np.ndarray, h1: np.ndarray, h2: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Bulk insert; returns (table, stash, n_new). Vectorized in rounds:
+    every iteration is a whole-array numpy pass placing / kicking all still
+    -active items at once, first-writer-wins per (bucket, slot)."""
+    nb = table.shape[0]
+    fp = _fingerprint(np.asarray(h2))
+    b1 = _bucket1(np.asarray(h1), nb)
+
+    # within-batch dedup on the canonical key (identical URL twice in one
+    # round, or a genuine fp collision — either way one insert is correct)
+    keys = _stash_keys_of(b1, fp, nb)
+    _, uniq = np.unique(keys, return_index=True)
+    fp, b1, keys = fp[uniq], b1[uniq], keys[uniq]
+
+    # drop items already present (table either bucket, or stash)
+    b2 = _alt_bucket(b1, fp, nb)
+    present = (table[b1] == fp[:, None]).any(axis=1)
+    present |= (table[b2] == fp[:, None]).any(axis=1)
+    if len(stash):
+        present |= np.isin(keys, stash)
+    fp, cur = fp[~present], b1[~present]
+    n_new = len(fp)
+
+    flat = table.reshape(-1)
+    for rnd in range(_MAX_KICK_ROUNDS):
+        if len(fp) == 0:
+            break
+        bv = table[cur]                      # (n, SLOTS)
+        empty = bv == 0
+        has_empty = empty.any(axis=1)
+        slot = empty.argmax(axis=1)
+        placed = np.zeros(len(fp), dtype=bool)
+
+        idx = np.flatnonzero(has_empty)
+        if len(idx):
+            claims = cur[idx] * SLOTS + slot[idx]
+            order = np.argsort(claims, kind="stable")
+            sc = claims[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = sc[1:] != sc[:-1]
+            winners = idx[order[first]]
+            flat[cur[winners] * SLOTS + slot[winners]] = fp[winners]
+            placed[winners] = True
+
+        # full buckets → kick a deterministic victim; one kick per
+        # (bucket, slot) per round, losers just retry next round
+        kick = ~placed & ~has_empty
+        kidx = np.flatnonzero(kick)
+        if len(kidx):
+            vslot = (fp[kidx].astype(np.int64) + rnd) % SLOTS
+            kflat = cur[kidx] * SLOTS + vslot
+            order = np.argsort(kflat, kind="stable")
+            sc = kflat[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = sc[1:] != sc[:-1]
+            kw = kidx[order[first]]
+            wflat = cur[kw] * SLOTS + (fp[kw].astype(np.int64) + rnd) % SLOTS
+            victims = flat[wflat].copy()
+            flat[wflat] = fp[kw]
+            # the evicted fingerprint continues from its OTHER bucket
+            fp[kw] = victims
+            cur[kw] = _alt_bucket(cur[kw], victims, nb)
+
+        active = ~placed
+        fp, cur = fp[active], cur[active]
+
+    if len(fp):  # table effectively full here — exactness over loss
+        stash = np.unique(
+            np.concatenate([stash, _stash_keys_of(cur, fp, nb)])
+        )
+    return table, stash, n_new
+
+
+def _delete_pass(table: np.ndarray, fp: np.ndarray,
+                 buckets: np.ndarray) -> np.ndarray:
+    """Clear each fp from its bucket where present (first-writer-wins per
+    (bucket, slot)); returns the deleted mask."""
+    deleted = np.zeros(len(fp), dtype=bool)
+    if len(fp) == 0:
+        return deleted
+    flat = table.reshape(-1)
+    match = table[buckets] == fp[:, None]
+    idx = np.flatnonzero(match.any(axis=1))
+    if len(idx):
+        slot = match.argmax(axis=1)
+        tgt = buckets[idx] * SLOTS + slot[idx]
+        order = np.argsort(tgt, kind="stable")
+        sc = tgt[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = sc[1:] != sc[:-1]
+        winners = idx[order[first]]
+        flat[buckets[winners] * SLOTS + slot[winners]] = 0
+        deleted[winners] = True
+    return deleted
+
+
+def delete_many(
+    table: np.ndarray, stash: np.ndarray, h1: np.ndarray, h2: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Remove the given keys (Bloom can't do this). Clears the fingerprint
+    from whichever bucket holds it, else from the stash; duplicate keys in
+    one call delete one occurrence, matching cuckoo-filter semantics."""
+    nb = table.shape[0]
+    fp = _fingerprint(np.asarray(h2))
+    b1 = _bucket1(np.asarray(h1), nb)
+    keys = _stash_keys_of(b1, fp, nb)
+    _, uniq = np.unique(keys, return_index=True)
+    fp, b1, keys = fp[uniq], b1[uniq], keys[uniq]
+
+    d1 = _delete_pass(table, fp, b1)
+    fp2 = fp[~d1]
+    b2 = _alt_bucket(b1[~d1], fp2, nb)
+    d2 = _delete_pass(table, fp2, b2)
+    n_deleted = int(d1.sum()) + int(d2.sum())
+
+    rem_keys = keys[~d1][~d2]
+    if len(rem_keys) and len(stash):
+        gone = np.isin(stash, rem_keys)
+        n_deleted += int(gone.sum())
+        stash = stash[~gone]
+    return table, stash, n_deleted
+
+
+class PartitionedCuckoo:
+    """Drop-in for bloom.PartitionedBloom: same merge_blobs/probe surface,
+    same (part_id, bits, n_items) blob rows, same cogroup physical plan —
+    crawl.py switches implementations without touching the round pipeline.
+    """
+
+    def __init__(self, n_buckets: int):
+        self.nb = n_buckets
+
+    @classmethod
+    def for_capacity(cls, expected_n: int, load: float = 0.84) -> "PartitionedCuckoo":
+        return cls(cuckoo_buckets(expected_n, load))
+
+    def merge_blobs(self, filters: DataFrame, new_hashes: DataFrame) -> DataFrame:
+        nb = self.nb
+
+        def merge(key, blob_pdf: pd.DataFrame, hashes_pdf: pd.DataFrame) -> pd.DataFrame:
+            part_id = int(key[0])
+            if len(blob_pdf):
+                table, stash = deserialize(blob_pdf["bits"].iloc[0])
+                n0 = int(blob_pdf["n_items"].iloc[0])
+            else:
+                table = np.zeros((nb, SLOTS), dtype=np.uint16)
+                stash = np.zeros(0, dtype=np.uint64)
+                n0 = 0
+            table, stash, n_new = insert_many(
+                table, stash,
+                hashes_pdf["h1"].to_numpy(), hashes_pdf["h2"].to_numpy(),
+            )
+            return pd.DataFrame(
+                {
+                    "part_id": [part_id],
+                    "bits": [serialize(table, stash)],
+                    "n_items": [n0 + n_new],
+                }
+            )
+
+        return (
+            filters.groupBy("part_id")
+            .cogroup(new_hashes.groupBy("part_id"))
+            .applyInPandas(merge, schema=BLOOM_SCHEMA)
+        )
+
+    def delete_blobs(self, filters: DataFrame, del_hashes: DataFrame) -> DataFrame:
+        """TTL/recrawl eviction: remove (part_id, h1, h2) keys so those URLs
+        probe as unseen again — the capability the Bloom layer lacks."""
+
+        def drop(key, blob_pdf: pd.DataFrame, hashes_pdf: pd.DataFrame) -> pd.DataFrame:
+            part_id = int(key[0])
+            if not len(blob_pdf):
+                return pd.DataFrame(columns=["part_id", "bits", "n_items"])
+            table, stash = deserialize(blob_pdf["bits"].iloc[0])
+            n0 = int(blob_pdf["n_items"].iloc[0])
+            table, stash, n_del = delete_many(
+                table, stash,
+                hashes_pdf["h1"].to_numpy(), hashes_pdf["h2"].to_numpy(),
+            )
+            return pd.DataFrame(
+                {
+                    "part_id": [part_id],
+                    "bits": [serialize(table, stash)],
+                    "n_items": [max(n0 - n_del, 0)],
+                }
+            )
+
+        return (
+            filters.groupBy("part_id")
+            .cogroup(del_hashes.groupBy("part_id"))
+            .applyInPandas(drop, schema=BLOOM_SCHEMA)
+        )
+
+    def probe(self, candidates: DataFrame, filters: DataFrame,
+              h1_col: str = "h1", h2_col: str = "h2") -> DataFrame:
+        out_schema = T.StructType(
+            list(candidates.schema.fields)
+            + [T.StructField("maybe_seen", T.BooleanType())]
+        )
+        cols = [f.name for f in candidates.schema.fields]
+
+        def run(key, cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(cand_pdf) == 0:
+                return pd.DataFrame(columns=cols + ["maybe_seen"])
+            if len(blob_pdf) == 0:
+                cand_pdf["maybe_seen"] = False
+            else:
+                cand_pdf["maybe_seen"] = probe_filter(
+                    blob_pdf["bits"].iloc[0],
+                    cand_pdf[h1_col].to_numpy(),
+                    cand_pdf[h2_col].to_numpy(),
+                )
+            return cand_pdf
+
+        return (
+            candidates.groupBy("part_id")
+            .cogroup(filters.groupBy("part_id"))
+            .applyInPandas(run, schema=out_schema)
+        )

@@ -133,8 +133,15 @@ class CrawlConfig:
     num_partitions: int = 8  # host-hash partitions for seen/bloom
     allowed_domains: tuple[str, ...] = ()  # substring match on netloc
     robots: dict[str, list[str]] | None = None  # host -> disallow prefixes
-    bloom_capacity: int = 1_000_000
+    bloom_capacity: int = 1_000_000  # seen-filter capacity (both kinds)
     bloom_fpp: float = 0.01
+    # approximate-membership layer for the seen set: "bloom" (bitmap,
+    # operators/bloom.py) or "cuckoo" (deletable fingerprint table,
+    # operators/cuckoo.py). Identical probe/merge contract and physical
+    # plan; crawl results are identical (both layers are exact-verified
+    # prefilters) — the choice is an ops tradeoff (bloom: smallest bits/key;
+    # cuckoo: deletable for recrawl TTLs, bounded 2-bucket lookups).
+    seen_filter: str = "bloom"
     base_timestamp: int = 1_700_000_000  # last_crawled = base + round (P5)
     # The seen-set guarantees a URL is fetched at most once per warehouse,
     # so pages/links writes are pure appends (the reference's ON CONFLICT
@@ -231,8 +238,17 @@ class CrawlEngine:
             ),
         )
         self.blooms = self.wh.table("seen_bloom", bloom_mod.BLOOM_SCHEMA)
-        m, k = bloom_mod.bloom_params(self.config.bloom_capacity, self.config.bloom_fpp)
-        self.pb = bloom_mod.PartitionedBloom(m, k)
+        if self.config.seen_filter == "cuckoo":
+            from louis_crawler_legacy_spark.operators import cuckoo as cuckoo_mod
+
+            self.pb = cuckoo_mod.PartitionedCuckoo.for_capacity(
+                self.config.bloom_capacity
+            )
+        else:
+            m, k = bloom_mod.bloom_params(
+                self.config.bloom_capacity, self.config.bloom_fpp
+            )
+            self.pb = bloom_mod.PartitionedBloom(m, k)
         # fetch source: hash-partitioned once, cached — stands in for the web.
         # Partition count ≥ 2×cores so the fetch-join output (which the
         # CPU-bound extraction inherits) keeps every core busy without ever

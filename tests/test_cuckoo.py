@@ -1,0 +1,183 @@
+"""Cuckoo seen-set tests: zero false negatives (property + overfill),
+bounded false positives, deletion (the capability Bloom lacks), and the
+Spark cogroup merge/probe/delete round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from louis_crawler_legacy_spark.operators import bloom, cuckoo
+
+
+def _fresh(capacity: int = 1_000):
+    nb = cuckoo.cuckoo_buckets(capacity)
+    return (
+        np.zeros((nb, cuckoo.SLOTS), dtype=np.uint16),
+        np.zeros(0, dtype=np.uint64),
+    )
+
+
+def _h2(h1: np.ndarray) -> np.ndarray:
+    return h1 * np.int64(31) + np.int64(7)
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_no_false_negatives(items):
+    table, stash = _fresh(max(len(items), 1))
+    h1 = np.array(items, dtype=np.int64)
+    table, stash, _ = cuckoo.insert_many(table, stash, h1, _h2(h1))
+    blob = cuckoo.serialize(table, stash)
+    assert cuckoo.probe_filter(blob, h1, _h2(h1)).all(), "inserted item absent"
+
+
+def test_overfill_goes_to_stash_never_drops():
+    """Insert 4x the filter's capacity: every key must still probe present
+    (overflow lands in the exact stash — the crawl contract is that a miss
+    is DEFINITIVELY new, so the filter may never forget)."""
+    table, stash = _fresh(250)
+    rng = np.random.default_rng(7)
+    h1 = rng.integers(-(2**62), 2**62, 1_000, dtype=np.int64)
+    table, stash, _ = cuckoo.insert_many(table, stash, h1, _h2(h1))
+    assert len(stash) > 0, "expected overflow at 4x capacity"
+    blob = cuckoo.serialize(table, stash)
+    assert cuckoo.probe_filter(blob, h1, _h2(h1)).all()
+
+
+def test_false_positive_rate_bounded():
+    table, stash = _fresh(20_000)
+    rng = np.random.default_rng(42)
+    ins = rng.integers(-(2**62), 2**62, 20_000, dtype=np.int64)
+    table, stash, _ = cuckoo.insert_many(table, stash, ins, _h2(ins))
+    probe = rng.integers(-(2**62), 2**62, 20_000, dtype=np.int64)
+    blob = cuckoo.serialize(table, stash)
+    fp = cuckoo.probe_filter(blob, probe, _h2(probe)).mean()
+    # 16-bit fingerprints: theoretical fpp ~ 1.2e-4; allow a wide margin
+    assert fp < 0.01, f"false positive rate {fp:.5f} too high"
+
+
+def test_incremental_insert_preserves_members():
+    table, stash = _fresh(1_000)
+    a = np.arange(100, dtype=np.int64)
+    b = np.arange(100, 200, dtype=np.int64)
+    table, stash, na = cuckoo.insert_many(table, stash, a, _h2(a))
+    table, stash, nb_ = cuckoo.insert_many(table, stash, b, _h2(b))
+    assert (na, nb_) == (100, 100)
+    blob = cuckoo.serialize(table, stash)
+    assert cuckoo.probe_filter(blob, a, _h2(a)).all()
+    assert cuckoo.probe_filter(blob, b, _h2(b)).all()
+
+
+def test_within_batch_duplicates_counted_once():
+    table, stash = _fresh(1_000)
+    h1 = np.array([5, 5, 5, 9], dtype=np.int64)
+    table, stash, n_new = cuckoo.insert_many(table, stash, h1, _h2(h1))
+    assert n_new == 2
+    # re-inserting is a no-op
+    table, stash, n_again = cuckoo.insert_many(table, stash, h1, _h2(h1))
+    assert n_again == 0
+
+
+def test_delete_restores_nonmembership():
+    table, stash = _fresh(1_000)
+    keys = np.arange(500, dtype=np.int64)
+    table, stash, _ = cuckoo.insert_many(table, stash, keys, _h2(keys))
+    victims = keys[::5]
+    table, stash, n_del = cuckoo.delete_many(table, stash, victims, _h2(victims))
+    assert n_del == len(victims)
+    blob = cuckoo.serialize(table, stash)
+    assert not cuckoo.probe_filter(blob, victims, _h2(victims)).any()
+    kept = np.setdiff1d(keys, victims)
+    assert cuckoo.probe_filter(blob, kept, _h2(kept)).all()
+    # deleting again is a no-op
+    table, stash, n2 = cuckoo.delete_many(table, stash, victims, _h2(victims))
+    assert n2 == 0
+
+
+def test_delete_from_stash():
+    table, stash = _fresh(250)  # force overflow
+    rng = np.random.default_rng(3)
+    h1 = rng.integers(-(2**62), 2**62, 1_000, dtype=np.int64)
+    table, stash, _ = cuckoo.insert_many(table, stash, h1, _h2(h1))
+    assert len(stash) > 0
+    table, stash2, n_del = cuckoo.delete_many(table, stash, h1, _h2(h1))
+    assert n_del == 1_000 and len(stash2) == 0
+    blob = cuckoo.serialize(table, stash2)
+    assert not cuckoo.probe_filter(blob, h1, _h2(h1)).any()
+    assert (table == 0).all()
+
+
+def test_serialize_roundtrip():
+    table, stash = _fresh(100)
+    h1 = np.arange(50, dtype=np.int64)
+    table, stash, _ = cuckoo.insert_many(table, stash, h1, _h2(h1))
+    t2, s2 = cuckoo.deserialize(cuckoo.serialize(table, stash))
+    assert (t2 == table).all() and (s2 == stash).all()
+
+
+def test_spark_probe_merge_delete(spark):
+    """Same scenario as test_bloom.test_spark_probe_and_merge, plus the
+    delete pass Bloom cannot do. with_bloom_hashes is shared — the cuckoo
+    layer consumes the identical (part_id, h1, h2) columns."""
+    num_parts = 4
+    pc = cuckoo.PartitionedCuckoo.for_capacity(10_000)
+
+    seen = spark.createDataFrame(
+        [(f"http://h{i % 7}.ca/p{i}",) for i in range(500)], ["url"]
+    )
+    seen_h = bloom.with_bloom_hashes(seen, "url", num_parts)
+    empty = spark.createDataFrame([], bloom.BLOOM_SCHEMA)
+    filters = pc.merge_blobs(empty, seen_h.select("part_id", "h1", "h2")).cache()
+    assert filters.count() <= num_parts
+
+    cand = spark.createDataFrame(
+        [(f"http://h{i % 7}.ca/p{i}",) for i in range(200, 800)], ["url"]
+    )
+    cand_h = bloom.with_bloom_hashes(cand, "url", num_parts)
+    probed = pc.probe(cand_h, filters).cache()
+
+    seen_urls = {r.url for r in seen.collect()}
+    rows = probed.collect()
+    assert len(rows) == 600
+    for r in rows:
+        if r.url in seen_urls:
+            assert r.maybe_seen, f"false negative for {r.url}"
+    fp = sum(1 for r in rows if r.url not in seen_urls and r.maybe_seen)
+    assert fp <= 2  # 16-bit fingerprints: fpp ~ 1e-4
+
+    # TTL eviction: delete the first 100 seen urls → they probe unseen again
+    expired = bloom.with_bloom_hashes(
+        spark.createDataFrame(
+            [(f"http://h{i % 7}.ca/p{i}",) for i in range(100)], ["url"]
+        ),
+        "url",
+        num_parts,
+    )
+    filters2 = pc.delete_blobs(filters, expired.select("part_id", "h1", "h2"))
+    reprobe = pc.probe(
+        bloom.with_bloom_hashes(seen, "url", num_parts), filters2
+    ).cache()
+    assert reprobe.filter(F.col("maybe_seen")).count() == 400
+    gone = {r.url for r in reprobe.filter(~F.col("maybe_seen")).collect()}
+    assert gone == {f"http://h{i % 7}.ca/p{i}" for i in range(100)}
+
+
+def test_hot_host_skew_correct(spark):
+    """URL-hash partitioning (shared with the Bloom layer) keeps a 90%-hot
+    host from pinning one blob; membership stays exact through merge+probe."""
+    num_parts = 8
+    pc = cuckoo.PartitionedCuckoo.for_capacity(10_000)
+    urls = [f"http://hot.ca/p{i}" for i in range(900)] + [
+        f"http://cold{i}.ca/p" for i in range(100)
+    ]
+    seen = spark.createDataFrame([(u,) for u in urls], ["url"])
+    seen_h = bloom.with_bloom_hashes(seen, "url", num_parts)
+    filters = pc.merge_blobs(
+        spark.createDataFrame([], bloom.BLOOM_SCHEMA),
+        seen_h.select("part_id", "h1", "h2"),
+    )
+    probed = pc.probe(seen_h, filters)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0

@@ -63,11 +63,15 @@ def assert_equivalent(eng, stats, sim):
         dict(max_depth=3, batch_size=7, host_budget=2),
         dict(max_depth=2, batch_size=10, host_budget=3, salt_buckets=4),
         dict(max_depth=2, batch_size=12, allowed_domains=("hub0.ca", "site1.ca")),
+        dict(max_depth=3, batch_size=7, host_budget=2, seen_filter="cuckoo"),
     ],
-    ids=["plain-bfs", "host-budget", "salted-budget", "domain-filter"],
+    ids=["plain-bfs", "host-budget", "salted-budget", "domain-filter",
+         "cuckoo-seen"],
 )
 def test_engine_matches_simulator(spark, tmp_path, kwargs):
-    sim_kwargs = {k: v for k, v in kwargs.items() if k != "salt_buckets"}
+    sim_kwargs = {
+        k: v for k, v in kwargs.items() if k not in ("salt_buckets", "seen_filter")
+    }
     sim = simulate_crawl(CDICT, SEEDS, **sim_kwargs)
     eng, stats = run_engine(spark, tmp_path, **kwargs)
     assert len(stats) == len(sim.rounds)

@@ -75,7 +75,13 @@ def _fast_take(df: DataFrame, cols: list[str], n: int,
             seen += len(pdf)
             yield out
 
-    result = taken.mapInPandas(number, schema=out_schema).localCheckpoint()
+    # lazy checkpoint: the count() is the action that materializes the
+    # checkpoint blocks — one job instead of an eager-checkpoint job plus a
+    # count job (the count is a full-partition action, so nothing stays
+    # partially materialized)
+    result = taken.mapInPandas(number, schema=out_schema).localCheckpoint(
+        eager=False
+    )
     return result, result.count()
 
 
@@ -111,7 +117,9 @@ def ranked_take(
         df.repartitionByRange(p, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()  # pin partition boundaries across the two passes
+        # pin partition boundaries across the two passes; lazy — the
+        # counts job right below is the materializing (full) action
+        .localCheckpoint(eager=False)
     )
     counts = {
         r["_pid"]: r["cnt"]

@@ -648,7 +648,12 @@ class CrawlEngine:
              + F.col("pos").cast("long")).alias("discovery_seq"),
         )
 
-        frontier_new = frontier_after_removal.unionByName(new_rows).localCheckpoint()
+        # lazy checkpoint: the fused size/n_new aggregate right below is the
+        # full-partition action that materializes the checkpoint — one job
+        # for materialize+count instead of two
+        frontier_new = frontier_after_removal.unionByName(new_rows).localCheckpoint(
+            eager=False
+        )
         # ONE fused job on the just-materialized state: n_new (the
         # north-rule 'deduped' volume) + frontier size — r01 paid a full
         # probe/anti-join lineage recompute for n_new plus a second count
@@ -729,6 +734,50 @@ class CrawlEngine:
         r = self.last_completed_round()
         self.rollback_to_round(r)
         return self.run(seeds=None, max_rounds=max_rounds, start_round=r + 1)
+
+    def expire_urls(self, urls: list[str]) -> int:
+        """TTL/recrawl eviction: drop ``urls`` from the seen table and the
+        filter layer so they fetch again when re-seeded or rediscovered
+        (the reference's recrawl-against-a-shared-DB workload, db.py
+        ON CONFLICT upsert — pair with ``unique_fetch=False`` so the
+        refetched pages MERGE instead of duplicating).
+
+        Cuckoo filter: targeted fingerprint deletion (delete_blobs) — the
+        capability the layer was chosen for. Bloom bitmap: bits can't be
+        unset, so the blobs are REBUILT from the surviving seen rows (one
+        pass over seen; at 10^10 scale you'd run expiry in batches on the
+        cuckoo layer instead). Returns the number of URLs expired; a
+        following ``run(seeds=urls)`` refetches them (bootstrap's
+        seeds ∖ seen reconciliation no longer filters them)."""
+        if not urls:
+            return 0
+        cfg = self.config
+        self._join_checkpoint()
+        self._drain_outputs()
+        url_df = self.spark.createDataFrame([(u,) for u in urls], ["url"])
+        seen = self.seen.read()
+        keep = seen.join(F.broadcast(url_df), "url", "left_anti").localCheckpoint(
+            eager=False
+        )
+        n_expired = seen.count() - keep.count()
+        if cfg.seen_filter == "cuckoo":
+            hashes = bloom_mod.with_bloom_hashes(url_df, "url", cfg.num_partitions)
+            blooms_new = self.pb.delete_blobs(
+                self.blooms.read(), hashes.select("part_id", "h1", "h2")
+            ).localCheckpoint()
+        else:
+            hashes = bloom_mod.with_bloom_hashes(
+                keep.select("url"), "url", cfg.num_partitions
+            )
+            empty = self.spark.createDataFrame([], bloom_mod.BLOOM_SCHEMA)
+            blooms_new = self.pb.merge_blobs(
+                empty, hashes.select("part_id", "h1", "h2")
+            ).localCheckpoint()
+        r = self.last_completed_round()
+        self.seen.overwrite(keep, {"round": r, "op": "expire"})
+        self.blooms.overwrite(blooms_new, {"round": r, "op": "expire"})
+        self._swap_state(None, None, None)  # reload from tables next round
+        return n_expired
 
     def rollback_to_round(self, round_no: int) -> None:
         """Time-travel every state AND output table back to the end of

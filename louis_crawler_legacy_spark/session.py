@@ -23,15 +23,22 @@ def get_spark(
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
+    executor_memory: str = "4g",
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     ``cpus``: int N → master local[N]; "*" → local[*]; None → env
     SPARK_GRAFT_CPUS or local[*].
+    ``master``: explicit master override (e.g. ``local-cluster[4,2,4096]``
+    for real multi-executor JVMs, or a cluster URL for spark-submit runs);
+    wins over ``cpus``. Multi-executor masters need the package shipped —
+    see ``ship_package`` (the spark-submit --py-files twin).
     """
-    if cpus is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cpus}]"
+    if master is None:
+        if cpus is None:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
 
@@ -50,7 +57,40 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executor.memory", executor_memory)
+        # multi-executor: don't stall short stages waiting for cache-block
+        # locality — the crawl round runs many small state jobs whose tasks
+        # would otherwise each wait the default 3 s for their preferred
+        # executor; remote reads of the small state blocks are cheaper
+        .config("spark.locality.wait", "0s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if master.startswith("local-cluster") or "://" in master:
+        ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship louis_crawler_legacy_spark to the executors as a zip — the
+    programmatic twin of ``spark-submit --py-files`` (scripts/run_crawl.py):
+    executor-side Python workers unpickle our mapInPandas/applyInPandas
+    functions by module reference, so multi-executor masters must be able
+    to import the package without the driver's filesystem."""
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="pyfiles_"), "louis_crawler_legacy_spark.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(
+            os.path.join(pkg_root, "louis_crawler_legacy_spark")
+        ):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, pkg_root))
+    spark.sparkContext.addPyFile(zpath)

@@ -5,6 +5,7 @@ Spark cogroup merge/probe/delete round-trip."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -163,6 +164,51 @@ def test_spark_probe_merge_delete(spark):
     assert reprobe.filter(F.col("maybe_seen")).count() == 400
     gone = {r.url for r in reprobe.filter(~F.col("maybe_seen")).collect()}
     assert gone == {f"http://h{i % 7}.ca/p{i}" for i in range(100)}
+
+
+@pytest.mark.parametrize("seen_filter", ["cuckoo", "bloom"])
+def test_expire_and_recrawl(spark, tmp_path, seen_filter):
+    """TTL workflow: crawl, expire two fetched URLs, re-seed them →
+    exactly those two refetch, MERGE-upserting their page rows (cuckoo:
+    targeted fingerprint delete; bloom: blob rebuild from surviving seen)."""
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from louis_crawler_legacy_spark.sources import corpus as corpus_mod
+
+    corpus = corpus_mod.generate_corpus(
+        seed=7, n_hosts=2, pages_per_host=5, hub_factor=2, links_per_page=4
+    )
+    seeds = corpus_mod.seed_urls(corpus, n=2)
+    cfg = CrawlConfig(
+        num_partitions=4, bloom_capacity=10_000, max_depth=1, batch_size=10,
+        unique_fetch=False, seen_filter=seen_filter,
+    )
+    eng = CrawlEngine(
+        spark, corpus_mod.corpus_df(spark, corpus), str(tmp_path / "wh"), cfg
+    )
+    eng.run(seeds=seeds)
+    pages_before = {r.url: r.last_crawled for r in eng.pages.read().collect()}
+    scraped = sorted(
+        r.url for r in eng.seen.read().collect() if r.status == "scraped"
+    )
+    assert len(scraped) >= 3
+    expired = scraped[:2]
+
+    assert eng.expire_urls(expired) == 2
+    assert eng.expire_urls(expired) == 0  # idempotent
+    left = {r.url for r in eng.seen.read().collect()}
+    assert not (set(expired) & left)
+
+    # re-seed expired + one still-seen url: only the expired pair fetches
+    stats = eng.run(seeds=expired + [scraped[2]], max_rounds=1, start_round=10)
+    assert stats[0].n_batch == 2
+    assert sorted(stats[0].batch_urls) == sorted(expired)
+    # MERGE upsert: same row count, refreshed last_crawled for the pair
+    pages_after = {r.url: r.last_crawled for r in eng.pages.read().collect()}
+    assert set(pages_after) == set(pages_before)
+    for u in expired:
+        assert pages_after[u] == cfg.base_timestamp + 10
+    for u in set(pages_before) - set(expired):
+        assert pages_after[u] == pages_before[u]
 
 
 def test_hot_host_skew_correct(spark):

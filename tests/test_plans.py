@@ -55,3 +55,52 @@ def test_minhash_single_aggregate(spark):
     # separate passes; generator explode feeds it
     assert "Generate" in plan  # explode of shingles feeds the aggregate
     assert "HashAggregate" in plan
+
+
+def test_bucketed_seen_state_probe_never_shuffles_blobs(spark, tmp_path):
+    """The 10^10-scale seen-state layout (PLANS.md): filter blobs persisted
+    BUCKETED by part_id feed the probe cogroup with NO Exchange on the blob
+    side — only the round's candidates (new data) shuffle. At production
+    blob sizes this is the difference between moving GBs of filter state
+    every round and moving none (Iceberg bucket transform / parquet
+    bucketBy are the same layout)."""
+    from pyspark.sql import functions as F
+
+    from louis_crawler_legacy_spark.operators import bloom
+
+    pb = bloom.PartitionedBloom(*bloom.bloom_params(10_000, 0.01))
+    seen = spark.createDataFrame(
+        [(f"http://h{i % 5}.ca/p{i}",) for i in range(300)], ["url"]
+    )
+    seen_h = bloom.with_bloom_hashes(seen, "url", 16)
+    blobs = pb.merge_blobs(
+        spark.createDataFrame([], bloom.BLOOM_SCHEMA),
+        seen_h.select("part_id", "h1", "h2"),
+    )
+    name = "seen_bloom_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        blobs.write.option("path", str(tmp_path / "blobs"))
+        .bucketBy(16, "part_id").sortBy("part_id")
+        .mode("overwrite").saveAsTable(name)
+    )
+    try:
+        bucketed = spark.table(name)
+        cand = bloom.with_bloom_hashes(
+            spark.createDataFrame(
+                [(f"http://h{i % 5}.ca/p{i}",) for i in range(200, 500)], ["url"]
+            ),
+            "url",
+            16,
+        )
+        probed = pb.probe(cand, bucketed)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan  # blob scan reports its bucketing
+        # exactly ONE exchange: the candidates; the blob side reads in place
+        assert plan.count("Exchange") == 1
+        assert "Exchange" not in plan.split("FileScan")[1]
+        # and the probe is still correct over the bucketed state
+        n_seen = probed.filter(F.col("maybe_seen")).count()
+        assert n_seen >= 100  # the 100 overlapping urls (plus bloom fp)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -27,10 +27,14 @@ standard partial-key involution i2 = i1 XOR (fp · K) (Fan et al.,
 "Cuckoo Filter: Practically Better Than Bloom", CoNEXT 2014), so a stored
 fingerprint's other bucket is derivable from where it sits.
 
-Blob layout (little-endian): uint64 n_buckets | uint64 n_stash |
-uint16 table[n_buckets * 4] | uint64 stash_keys[n_stash], where a stash
-key is (min(i1, i2) << 16) | fp — canonical-bucket keyed so probe and
-delete find it from either bucket.
+Blob layout (little-endian): uint64 magic "CUKFILT1" | uint64 n_buckets |
+uint64 n_stash | uint16 table[n_buckets * 4] | uint64 stash_keys[n_stash],
+where a stash key is (min(i1, i2) << 16) | fp — canonical-bucket keyed so
+probe and delete find it from either bucket. The magic guards against
+feeding a raw Bloom bitmap (same table, different seen_filter config) into
+the cuckoo decoder. Insert/delete are MULTISET operations, the standard
+cuckoo-filter contract that keeps per-copy deletion sound — see
+insert_many/delete_many.
 """
 
 from __future__ import annotations
@@ -47,7 +51,11 @@ _FP_MASK = np.uint64(0xFFFF)
 _ALT_K = np.uint64(0x5BD1E995)  # odd multiplier scatters the 16-bit fp
 _MAX_KICK_ROUNDS = 250
 
-_HEADER = np.dtype(np.uint64).itemsize * 2
+# blob magic: distinguishes a cuckoo blob from a raw Bloom bitmap sharing
+# the same table/schema — deserializing the wrong kind must be a clear
+# error, not garbage membership answers
+_MAGIC = np.uint64(0x43554B46494C5431)  # "CUKFILT1"
+_HEADER = np.dtype(np.uint64).itemsize * 3
 
 
 def cuckoo_buckets(expected_n: int, load: float = 0.84) -> int:
@@ -87,18 +95,27 @@ def _stash_keys_of(b: np.ndarray, fp: np.ndarray, nb: int) -> np.ndarray:
     return (cmin << np.uint64(16)) | fp.astype(np.uint64)
 
 
-def empty_filter(nb: int) -> bytes:
-    return serialize(np.zeros((nb, SLOTS), dtype=np.uint16),
-                     np.zeros(0, dtype=np.uint64))
+def empty_state(nb: int) -> tuple[np.ndarray, np.ndarray]:
+    """A fresh (table, stash) pair — the one layout every caller shares."""
+    return (
+        np.zeros((nb, SLOTS), dtype=np.uint16),
+        np.zeros(0, dtype=np.uint64),
+    )
 
 
 def serialize(table: np.ndarray, stash: np.ndarray) -> bytes:
-    header = np.array([table.shape[0], len(stash)], dtype=np.uint64)
+    header = np.array([_MAGIC, table.shape[0], len(stash)], dtype=np.uint64)
     return header.tobytes() + table.tobytes() + stash.tobytes()
 
 
 def deserialize(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
-    nb, ns = np.frombuffer(blob[:_HEADER], dtype=np.uint64)
+    magic, nb, ns = np.frombuffer(blob[:_HEADER], dtype=np.uint64)
+    if magic != _MAGIC:
+        raise ValueError(
+            "not a cuckoo-filter blob (bad magic) — was this warehouse "
+            "built with seen_filter='bloom'? The two filter kinds share "
+            "the seen_bloom table but not a blob format."
+        )
     nb, ns = int(nb), int(ns)
     t_end = _HEADER + nb * SLOTS * 2
     table = (
@@ -132,24 +149,24 @@ def insert_many(
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Bulk insert; returns (table, stash, n_new). Vectorized in rounds:
     every iteration is a whole-array numpy pass placing / kicking all still
-    -active items at once, first-writer-wins per (bucket, slot)."""
+    -active items at once, first-writer-wins per (bucket, slot).
+
+    MULTISET semantics (standard cuckoo filter): distinct keys that collide
+    at filter granularity — same fingerprint AND same bucket pair — each
+    keep their own copy, so deleting one key never un-members a collider
+    (delete_many removes ONE copy). Deduping against the table here would
+    silently merge colliders and make deletion unsound. Exact duplicates
+    WITHIN a batch are deduped on the full (h1, h2) hash pair — a 128-bit
+    match is the same URL, not a collision. Re-inserting a key already
+    present from an earlier merge adds a second copy; the crawl engine
+    never does (each URL enters `seen` exactly once per warehouse, and
+    expire_urls deletes the copy before any re-add)."""
     nb = table.shape[0]
-    fp = _fingerprint(np.asarray(h2))
-    b1 = _bucket1(np.asarray(h1), nb)
-
-    # within-batch dedup on the canonical key (identical URL twice in one
-    # round, or a genuine fp collision — either way one insert is correct)
-    keys = _stash_keys_of(b1, fp, nb)
-    _, uniq = np.unique(keys, return_index=True)
-    fp, b1, keys = fp[uniq], b1[uniq], keys[uniq]
-
-    # drop items already present (table either bucket, or stash)
-    b2 = _alt_bucket(b1, fp, nb)
-    present = (table[b1] == fp[:, None]).any(axis=1)
-    present |= (table[b2] == fp[:, None]).any(axis=1)
-    if len(stash):
-        present |= np.isin(keys, stash)
-    fp, cur = fp[~present], b1[~present]
+    h1 = np.asarray(h1)
+    h2 = np.asarray(h2)
+    _, uniq = np.unique(np.stack([h1, h2], axis=1), axis=0, return_index=True)
+    fp = _fingerprint(h2[uniq])
+    cur = _bucket1(h1[uniq], nb)
     n_new = len(fp)
 
     flat = table.reshape(-1)
@@ -196,9 +213,9 @@ def insert_many(
         fp, cur = fp[active], cur[active]
 
     if len(fp):  # table effectively full here — exactness over loss
-        stash = np.unique(
-            np.concatenate([stash, _stash_keys_of(cur, fp, nb)])
-        )
+        # plain concatenate: the stash is a multiset too (colliding copies
+        # each keep an entry so per-copy deletion stays sound)
+        stash = np.concatenate([stash, _stash_keys_of(cur, fp, nb)])
     return table, stash, n_new
 
 
@@ -228,15 +245,23 @@ def _delete_pass(table: np.ndarray, fp: np.ndarray,
 def delete_many(
     table: np.ndarray, stash: np.ndarray, h1: np.ndarray, h2: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, int]:
-    """Remove the given keys (Bloom can't do this). Clears the fingerprint
-    from whichever bucket holds it, else from the stash; duplicate keys in
-    one call delete one occurrence, matching cuckoo-filter semantics."""
+    """Remove the given keys (Bloom can't do this). Clears ONE fingerprint
+    copy per requested key — from whichever bucket holds it, else from the
+    stash (cuckoo semantics: the filter is a multiset of copies, so a
+    collider's copy survives its partner's deletion). Exact duplicates in
+    one call are deduped on the full (h1, h2) pair; distinct keys that
+    collide at filter granularity each remove their own copy. Sole
+    remaining edge: two colliding keys deleted in ONE call whose copies sit
+    in the same bucket may clear only one copy this call — an error in the
+    SAFE direction (the leftover copy is a false positive, never a false
+    negative)."""
     nb = table.shape[0]
-    fp = _fingerprint(np.asarray(h2))
-    b1 = _bucket1(np.asarray(h1), nb)
+    h1 = np.asarray(h1)
+    h2 = np.asarray(h2)
+    _, uniq = np.unique(np.stack([h1, h2], axis=1), axis=0, return_index=True)
+    fp = _fingerprint(h2[uniq])
+    b1 = _bucket1(h1[uniq], nb)
     keys = _stash_keys_of(b1, fp, nb)
-    _, uniq = np.unique(keys, return_index=True)
-    fp, b1, keys = fp[uniq], b1[uniq], keys[uniq]
 
     d1 = _delete_pass(table, fp, b1)
     fp2 = fp[~d1]
@@ -246,9 +271,19 @@ def delete_many(
 
     rem_keys = keys[~d1][~d2]
     if len(rem_keys) and len(stash):
-        gone = np.isin(stash, rem_keys)
-        n_deleted += int(gone.sum())
-        stash = stash[~gone]
+        # remove ONE stash occurrence per requested key (keys may repeat
+        # when colliders are expired together — k requests take k copies)
+        order = np.argsort(stash, kind="stable")
+        sorted_stash = stash[order]
+        rk = np.sort(rem_keys, kind="stable")
+        occ = np.arange(len(rk)) - np.searchsorted(rk, rk, side="left")
+        p = np.searchsorted(sorted_stash, rk, side="left") + occ
+        p_clip = np.minimum(p, len(sorted_stash) - 1)
+        valid = (p < len(sorted_stash)) & (sorted_stash[p_clip] == rk)
+        del_mask = np.zeros(len(stash), dtype=bool)
+        del_mask[order[p[valid]]] = True
+        n_deleted += int(valid.sum())
+        stash = stash[~del_mask]
     return table, stash, n_deleted
 
 
@@ -274,8 +309,7 @@ class PartitionedCuckoo:
                 table, stash = deserialize(blob_pdf["bits"].iloc[0])
                 n0 = int(blob_pdf["n_items"].iloc[0])
             else:
-                table = np.zeros((nb, SLOTS), dtype=np.uint16)
-                stash = np.zeros(0, dtype=np.uint64)
+                table, stash = empty_state(nb)
                 n0 = 0
             table, stash, n_new = insert_many(
                 table, stash,

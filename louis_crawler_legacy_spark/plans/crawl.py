@@ -278,6 +278,7 @@ class CrawlEngine:
         self._blooms_df: DataFrame | None = None
         self._pending_metrics: list[tuple] = []
         self._dirty = False
+        self._last_round = 0  # highest round run in-memory (≥ checkpointed)
         # async checkpointing: snapshot writes overlap the NEXT round's
         # compute (VERDICT r01 full-loop-efficiency item); at most one
         # in-flight, joined before state swap / reads / shutdown
@@ -298,6 +299,21 @@ class CrawlEngine:
         if self._seen_df is None:
             self._seen_df = self.seen.read().cache()
         if self._blooms_df is None:
+            # a warehouse checkpointed with one filter kind must not be
+            # reopened with the other: the blobs share a table but not a
+            # format (cuckoo blobs are magic-tagged, so that direction
+            # fails loudly anyway; this guards both, with a clear message)
+            hist = self.blooms.history()
+            if hist:
+                latest = max(hist, key=lambda h: h["v"])
+                stored = latest["meta"].get("filter")
+                if stored is not None and stored != self.config.seen_filter:
+                    raise ValueError(
+                        f"warehouse seen-filter state is '{stored}' but "
+                        f"CrawlConfig.seen_filter is "
+                        f"'{self.config.seen_filter}' — reopen with the "
+                        f"matching kind (or start a fresh warehouse)"
+                    )
             self._blooms_df = self.blooms.read().cache()
 
     def _join_checkpoint(self) -> None:
@@ -368,7 +384,9 @@ class CrawlEngine:
                 df.unpersist()
         self.frontier.overwrite(frontier_df, {"round": round_no})
         self.seen.overwrite(seen_df, {"round": round_no})
-        self.blooms.overwrite(blooms_df, {"round": round_no})
+        self.blooms.overwrite(
+            blooms_df, {"round": round_no, "filter": self.config.seen_filter}
+        )
         if pending_metrics:
             self.metrics.append(
                 self.spark.createDataFrame(pending_metrics, METRICS_SCHEMA),
@@ -670,6 +688,7 @@ class CrawlEngine:
 
         self._swap_state(frontier_new, seen_new, blooms_new)
         self._dirty = True
+        self._last_round = round_no
 
         wall = time.time() - t0
         stats = RoundStats(
@@ -752,14 +771,21 @@ class CrawlEngine:
         if not urls:
             return 0
         cfg = self.config
+        # flush any un-checkpointed rounds first: this method rebuilds from
+        # the TABLES, so stale snapshots would silently forget every URL
+        # seen since the last checkpoint (their output rows already landed
+        # → the next run would re-fetch and duplicate them)
+        if self._dirty:
+            self.checkpoint(self._last_round, wait=True)
         self._join_checkpoint()
         self._drain_outputs()
         url_df = self.spark.createDataFrame([(u,) for u in urls], ["url"])
-        seen = self.seen.read()
-        keep = seen.join(F.broadcast(url_df), "url", "left_anti").localCheckpoint(
-            eager=False
-        )
-        n_expired = seen.count() - keep.count()
+        # ONE pass over seen: mark expired rows, materialize, fused count
+        marked = self.seen.read().join(
+            F.broadcast(url_df.withColumn("_gone", F.lit(True))), "url", "left"
+        ).localCheckpoint(eager=False)
+        n_expired = int(marked.agg(F.count("_gone").alias("gone")).first()["gone"])
+        keep = marked.filter(F.col("_gone").isNull()).drop("_gone")
         if cfg.seen_filter == "cuckoo":
             hashes = bloom_mod.with_bloom_hashes(url_df, "url", cfg.num_partitions)
             blooms_new = self.pb.delete_blobs(
@@ -775,7 +801,9 @@ class CrawlEngine:
             ).localCheckpoint()
         r = self.last_completed_round()
         self.seen.overwrite(keep, {"round": r, "op": "expire"})
-        self.blooms.overwrite(blooms_new, {"round": r, "op": "expire"})
+        self.blooms.overwrite(
+            blooms_new, {"round": r, "op": "expire", "filter": cfg.seen_filter}
+        )
         self._swap_state(None, None, None)  # reload from tables next round
         return n_expired
 

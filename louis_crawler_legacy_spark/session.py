@@ -72,25 +72,34 @@ def get_spark(
     return spark
 
 
+_PYFILES_ZIP: str | None = None
+
+
 def ship_package(spark: SparkSession) -> None:
     """Ship louis_crawler_legacy_spark to the executors as a zip — the
     programmatic twin of ``spark-submit --py-files`` (scripts/run_crawl.py):
     executor-side Python workers unpickle our mapInPandas/applyInPandas
     functions by module reference, so multi-executor masters must be able
-    to import the package without the driver's filesystem."""
-    import tempfile
-    import zipfile
+    to import the package without the driver's filesystem. The zip is built
+    once per process (cached) and its temp dir is cleaned at exit."""
+    global _PYFILES_ZIP
+    if _PYFILES_ZIP is None:
+        import atexit
+        import shutil
+        import tempfile
+        import zipfile
 
-    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zpath = os.path.join(
-        tempfile.mkdtemp(prefix="pyfiles_"), "louis_crawler_legacy_spark.zip"
-    )
-    with zipfile.ZipFile(zpath, "w") as z:
-        for root, _, files in os.walk(
-            os.path.join(pkg_root, "louis_crawler_legacy_spark")
-        ):
-            for f in files:
-                if f.endswith(".py"):
-                    p = os.path.join(root, f)
-                    z.write(p, os.path.relpath(p, pkg_root))
-    spark.sparkContext.addPyFile(zpath)
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        tmpdir = tempfile.mkdtemp(prefix="pyfiles_")
+        atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
+        zpath = os.path.join(tmpdir, "louis_crawler_legacy_spark.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk(
+                os.path.join(pkg_root, "louis_crawler_legacy_spark")
+            ):
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        z.write(p, os.path.relpath(p, pkg_root))
+        _PYFILES_ZIP = zpath
+    spark.sparkContext.addPyFile(_PYFILES_ZIP)

@@ -14,11 +14,7 @@ from louis_crawler_legacy_spark.operators import bloom, cuckoo
 
 
 def _fresh(capacity: int = 1_000):
-    nb = cuckoo.cuckoo_buckets(capacity)
-    return (
-        np.zeros((nb, cuckoo.SLOTS), dtype=np.uint16),
-        np.zeros(0, dtype=np.uint64),
-    )
+    return cuckoo.empty_state(cuckoo.cuckoo_buckets(capacity))
 
 
 def _h2(h1: np.ndarray) -> np.ndarray:
@@ -77,9 +73,59 @@ def test_within_batch_duplicates_counted_once():
     h1 = np.array([5, 5, 5, 9], dtype=np.int64)
     table, stash, n_new = cuckoo.insert_many(table, stash, h1, _h2(h1))
     assert n_new == 2
-    # re-inserting is a no-op
+    # MULTISET contract: a later merge of the same keys adds copies (the
+    # engine never re-adds — each URL enters seen once per warehouse);
+    # what matters is that per-copy deletes bring it back to absent
     table, stash, n_again = cuckoo.insert_many(table, stash, h1, _h2(h1))
-    assert n_again == 0
+    assert n_again == 2
+    for expected_left in (True, False):
+        table, stash, n_del = cuckoo.delete_many(table, stash, h1, _h2(h1))
+        assert n_del == 2
+        blob = cuckoo.serialize(table, stash)
+        got = cuckoo.probe_filter(blob, h1, _h2(h1))
+        assert got.all() if expected_left else not got.any()
+
+
+def test_colliding_keys_survive_partner_deletion():
+    """The reason inserts are multiset: two DISTINCT keys colliding at
+    filter granularity (same fingerprint + same bucket pair) each keep a
+    copy, so expiring one must not un-member the other (a false negative
+    would make the crawl re-fetch a seen URL and duplicate its rows)."""
+    table, stash = _fresh(1_000)
+    h1 = np.array([12345], dtype=np.int64)
+    fp_a = cuckoo._fingerprint(np.array([777], dtype=np.int64))[0]
+    cand = np.arange(1, 1_000_000, dtype=np.int64)
+    matches = cand[(cuckoo._fingerprint(cand) == fp_a) & (cand != 777)]
+    h2_b = matches[0]  # distinct second hash, same 16-bit fingerprint
+
+    ins_h1 = np.array([12345, 12345], dtype=np.int64)
+    ins_h2 = np.array([777, h2_b], dtype=np.int64)
+    table, stash, n = cuckoo.insert_many(table, stash, ins_h1, ins_h2)
+    assert n == 2  # colliders are separate copies, not "already present"
+
+    table, stash, nd = cuckoo.delete_many(
+        table, stash, h1, np.array([777], dtype=np.int64)
+    )
+    assert nd == 1
+    blob = cuckoo.serialize(table, stash)
+    assert cuckoo.probe_filter(blob, h1, np.array([h2_b], dtype=np.int64))[0]
+    table, stash, nd2 = cuckoo.delete_many(
+        table, stash, h1, np.array([h2_b], dtype=np.int64)
+    )
+    assert nd2 == 1
+    blob = cuckoo.serialize(table, stash)
+    assert not cuckoo.probe_filter(blob, ins_h1, ins_h2).any()
+
+
+def test_bloom_blob_rejected_by_magic():
+    """Feeding a Bloom bitmap (same table, seen_filter='bloom' warehouse)
+    into the cuckoo decoder must be a clear error, not garbage answers."""
+    bits = bloom.build_bits(
+        np.arange(50, dtype=np.int64), np.arange(50, dtype=np.int64) * 13 + 1,
+        *bloom.bloom_params(1_000, 0.01),
+    )
+    with pytest.raises(ValueError, match="magic"):
+        cuckoo.deserialize(bits)
 
 
 def test_delete_restores_nonmembership():
@@ -209,6 +255,33 @@ def test_expire_and_recrawl(spark, tmp_path, seen_filter):
         assert pages_after[u] == cfg.base_timestamp + 10
     for u in set(pages_before) - set(expired):
         assert pages_after[u] == pages_before[u]
+
+
+def test_filter_kind_mismatch_rejected(spark, tmp_path):
+    """A warehouse checkpointed with one seen_filter kind refuses to
+    continue under the other — the blobs share a table, not a format."""
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from louis_crawler_legacy_spark.sources import corpus as corpus_mod
+
+    corpus = corpus_mod.generate_corpus(
+        seed=11, n_hosts=2, pages_per_host=4, hub_factor=2, links_per_page=3
+    )
+    seeds = corpus_mod.seed_urls(corpus, n=1)
+    cdf = corpus_mod.corpus_df(spark, corpus)
+    wh = str(tmp_path / "wh")
+    a = CrawlEngine(
+        spark, cdf, wh,
+        CrawlConfig(num_partitions=4, bloom_capacity=10_000, max_depth=1,
+                    batch_size=5),
+    )
+    a.run(seeds=seeds)
+    b = CrawlEngine(
+        spark, cdf, wh,
+        CrawlConfig(num_partitions=4, bloom_capacity=10_000, max_depth=1,
+                    batch_size=5, seen_filter="cuckoo"),
+    )
+    with pytest.raises(ValueError, match="seen-filter"):
+        b.resume()
 
 
 def test_hot_host_skew_correct(spark):

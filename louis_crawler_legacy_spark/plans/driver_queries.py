@@ -445,6 +445,36 @@ def x_frontier_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+@query("x_frontier_crawl_cuckoo")  # rows-only: cuckoo seen-layer twin
+def x_frontier_crawl_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The identical crawl with the cuckoo-filter seen layer
+    (CrawlConfig(seen_filter="cuckoo"), operators/cuckoo.py). Both filter
+    kinds are exact-verified prefilters, so the per-round metrics are
+    bit-identical to x_frontier_crawl's — the driver records both, and the
+    engine-vs-simulator equality suite pins the full state equality
+    (tests/test_frontier.py cuckoo-seen config)."""
+    import tempfile
+
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from louis_crawler_legacy_spark.sources import corpus as corpus_mod
+
+    corpus = corpus_mod.generate_corpus(
+        seed=42, n_hosts=3, pages_per_host=6, hub_factor=2, links_per_page=4
+    )
+    eng = CrawlEngine(
+        spark,
+        corpus_mod.corpus_df(spark, corpus),
+        tempfile.mkdtemp(prefix="frontier_qc_"),
+        CrawlConfig(max_depth=2, batch_size=16, host_budget=8,
+                    num_partitions=4, bloom_capacity=10_000,
+                    seen_filter="cuckoo"),
+    )
+    eng.run(seeds=corpus_mod.seed_urls(corpus, n=2))
+    return eng.metrics.read().select(
+        "round", "n_batch", "n_scraped", "n_errored", "n_new_frontier"
+    ).orderBy("round")
+
+
 # ===========================================================================
 # Training-data pipeline operators (dedup / similarity / text analysis /
 # multimodal) — first-class components per the build brief.

@@ -982,6 +982,54 @@ def m1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(d)
 
 
+# --- corpus curation: the training-data operators COMPOSED -----------------
+
+@query("c1_curation_pipeline")
+def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style curation in one declarative plan: quality gate + length
+    gate (textstats) → exact dedup keeping the min-id copy per text
+    (dedup.exact_dedup) → content fingerprint for downstream incremental
+    recrawl. Everything is native columns + ONE window shuffle on the
+    dedup key — at 100 TB the gates run inside the scan (predicate
+    evaluation, no UDF) and the dedup is the only exchange."""
+    from louis_crawler_legacy_spark.operators import textstats as ts
+    from louis_crawler_legacy_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    gated = d.select(
+        "doc_id", "text",
+        ts.quality_score(F.col("text")).alias("quality"),
+        ts.token_count_ws(F.col("text")).alias("ws_tokens"),
+    ).filter((F.col("quality") >= 0.6) & (F.col("ws_tokens") >= 20))
+    kept = exact_dedup(gated, text_col="text", id_col="doc_id")
+    return kept.select(
+        "doc_id", "quality", "ws_tokens",
+        ts.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def _register_curation_oracle() -> None:
+    from louis_crawler_legacy_spark.operators import textstats as ts
+
+    ORACLES["c1_curation_pipeline"] = f"""
+    WITH gated AS (
+      SELECT doc_id, text,
+             {ts.ORACLE_QUALITY} AS quality,
+             {ts.ORACLE_TOKEN_WS} AS ws_tokens
+      FROM documents
+    ),
+    kept AS (
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM gated WHERE quality >= 0.6 AND ws_tokens >= 20
+    )
+    SELECT doc_id, quality, ws_tokens, {ts.ORACLE_FINGERPRINT} AS fp
+    FROM kept WHERE rn = 1
+    """
+
+
+_register_curation_oracle()
+
+
 # oracles for t2/t3/t4 are built from the SAME fragments the Spark
 # implementations document (operators/textstats.py) so they evolve together
 def _register_textstat_oracles() -> None:

@@ -779,7 +779,12 @@ class CrawlEngine:
             self.checkpoint(self._last_round, wait=True)
         self._join_checkpoint()
         self._drain_outputs()
-        url_df = self.spark.createDataFrame([(u,) for u in urls], ["url"])
+        # distinct: a duplicated request URL must not fan out the seen join
+        # (n_expired would overcount) nor request two cuckoo copy-deletions
+        # for one seen row
+        url_df = self.spark.createDataFrame(
+            [(u,) for u in urls], ["url"]
+        ).distinct()
         # ONE pass over seen: mark expired rows, materialize, fused count
         marked = self.seen.read().join(
             F.broadcast(url_df.withColumn("_gone", F.lit(True))), "url", "left"
@@ -787,7 +792,16 @@ class CrawlEngine:
         n_expired = int(marked.agg(F.count("_gone").alias("gone")).first()["gone"])
         keep = marked.filter(F.col("_gone").isNull()).drop("_gone")
         if cfg.seen_filter == "cuckoo":
-            hashes = bloom_mod.with_bloom_hashes(url_df, "url", cfg.num_partitions)
+            # delete hashes come from the URLs actually matched in seen —
+            # NOT the raw request list. The filter holds one copy per
+            # inserted key; deleting a never-inserted key breaks the cuckoo
+            # delete precondition (a fp+bucket collision with a still-seen
+            # URL would remove that URL's only copy → false negative →
+            # silent refetch + duplicate pages)
+            expired = marked.filter(F.col("_gone").isNotNull()).select("url")
+            hashes = bloom_mod.with_bloom_hashes(
+                expired, "url", cfg.num_partitions
+            )
             blooms_new = self.pb.delete_blobs(
                 self.blooms.read(), hashes.select("part_id", "h1", "h2")
             ).localCheckpoint()

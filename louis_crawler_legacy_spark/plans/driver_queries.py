@@ -858,6 +858,10 @@ def s2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
+    # the registered oracle inlined dim=64 hyperplane literals; a different
+    # embedding dim must fail loudly here, not silently hash-mismatch (or
+    # worse, diverge inside DuckDB's list_dot_product on ragged lists)
+    assert dim == 64, f"s2 oracle was built for dim=64, data has dim={dim}"
     return lsh_topk(e, _queries_df(spark, sf_dir), dim=dim, k=5, n_planes=8)
 
 
@@ -949,6 +953,7 @@ def s3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
+    assert dim == 64, f"s3 oracle was built for dim=64, data has dim={dim}"
     # testdata embeddings are near-orthogonal (max pairwise cos ≈ 0.46 at
     # sf0.01) — 0.35 exercises the operator with a non-empty result
     return embedding_near_dup_pairs(e, dim=dim, threshold=0.35)

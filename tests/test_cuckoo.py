@@ -257,6 +257,57 @@ def test_expire_and_recrawl(spark, tmp_path, seen_filter):
         assert pages_after[u] == pages_before[u]
 
 
+def test_expire_requests_outside_seen_never_reach_the_filter(spark, tmp_path):
+    """expire_urls must derive the cuckoo delete set from the URLs actually
+    matched in `seen`, not the raw request list: deleting a never-inserted
+    key violates the filter's delete precondition (a fp+bucket collision
+    with a still-seen URL would remove that URL's only copy → false
+    negative → silent refetch). Duplicated request URLs must also collapse
+    to one copy-deletion (and not overcount n_expired)."""
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from louis_crawler_legacy_spark.sources import corpus as corpus_mod
+
+    corpus = corpus_mod.generate_corpus(
+        seed=7, n_hosts=2, pages_per_host=5, hub_factor=2, links_per_page=4
+    )
+    seeds = corpus_mod.seed_urls(corpus, n=2)
+    cfg = CrawlConfig(
+        num_partitions=4, bloom_capacity=10_000, max_depth=1, batch_size=10,
+        unique_fetch=False, seen_filter="cuckoo",
+    )
+    eng = CrawlEngine(
+        spark, corpus_mod.corpus_df(spark, corpus), str(tmp_path / "wh"), cfg
+    )
+    eng.run(seeds=seeds)
+    scraped = sorted(
+        r.url for r in eng.seen.read().collect() if r.status == "scraped"
+    )
+    target = scraped[0]
+
+    captured = {}
+    orig = eng.pb.delete_blobs
+
+    def spy(filters, del_hashes):
+        captured["n_delete_requests"] = del_hashes.count()
+        return orig(filters, del_hashes)
+
+    eng.pb.delete_blobs = spy
+    # two never-crawled URLs + the same seen URL twice → exactly ONE
+    # fingerprint-copy deletion may be issued
+    n = eng.expire_urls(
+        ["http://never.invalid/a", "http://never.invalid/b", target, target]
+    )
+    assert n == 1
+    assert captured["n_delete_requests"] == 1
+    # every surviving seen URL still probes present (zero false negatives)
+    left = eng.seen.read().select("url")
+    probed = eng.pb.probe(
+        bloom.with_bloom_hashes(left, "url", cfg.num_partitions),
+        eng.blooms.read(),
+    )
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
 def test_filter_kind_mismatch_rejected(spark, tmp_path):
     """A warehouse checkpointed with one seen_filter kind refuses to
     continue under the other — the blobs share a table, not a format."""

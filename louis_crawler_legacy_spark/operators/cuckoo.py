@@ -35,6 +35,27 @@ feeding a raw Bloom bitmap (same table, different seen_filter config) into
 the cuckoo decoder. Insert/delete are MULTISET operations, the standard
 cuckoo-filter contract that keeps per-copy deletion sound — see
 insert_many/delete_many.
+
+**Unbounded growth (round-3 scale fix)**: a single table saturates on a
+sustained crawl — past ~84% load the kick loop starts failing and every
+overflow lands in the exact stash, which would grow without bound inside
+one blob. A partition's blob is therefore a CHAIN of cuckoo tables
+("CUKCHN02" framing): inserts fill the newest table up to its load cap,
+a full table appends the next one at 2× buckets (a stored fingerprint
+can't be re-homed into a bigger table — the original h1 bits above the
+old bucket mask are gone — so chaining, not rebuild, is the growth move);
+probe ORs all tables; delete walks the chain and forwards only
+still-unsatisfied keys (per-key masks) so a deletion in table i can never
+consume a collider's copy in table j. Each table's stash only ever holds
+kick-failures from below its cap — bounded by construction; chain length
+grows log2(n/cap0); fpp grows linearly in chain length (≈1.2e-4 per
+table), log-bounded overall.
+
+Chain layout: uint64 magic "CUKCHN02" | uint64 n_tables | n_tables ×
+(uint64 n_buckets, uint64 n_stash, uint64 n_items) | per-table payload
+(uint16 table[nb·4] | uint64 stash[ns]). A v1 single-table blob decodes
+as a one-entry chain (n_items from the blob row), so pre-growth
+warehouses stay readable.
 """
 
 from __future__ import annotations
@@ -128,20 +149,13 @@ def deserialize(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
 
 
 def probe_filter(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-    """Vectorized membership → bool array. No false negatives by
-    construction (stash catches what the table couldn't place)."""
+    """Vectorized membership → bool array over a single-table (v1) blob.
+    No false negatives by construction (stash catches what the table
+    couldn't place)."""
     if len(h1) == 0:
         return np.zeros(0, dtype=bool)
     table, stash = deserialize(blob)
-    nb = table.shape[0]
-    fp = _fingerprint(np.asarray(h2))
-    b1 = _bucket1(np.asarray(h1), nb)
-    b2 = _alt_bucket(b1, fp, nb)
-    hit = (table[b1] == fp[:, None]).any(axis=1)
-    hit |= (table[b2] == fp[:, None]).any(axis=1)
-    if len(stash):
-        hit |= np.isin(_stash_keys_of(b1, fp, nb), stash)
-    return hit
+    return _probe_state(table, stash, np.asarray(h1), np.asarray(h2))
 
 
 def insert_many(
@@ -242,6 +256,47 @@ def _delete_pass(table: np.ndarray, fp: np.ndarray,
     return deleted
 
 
+def _delete_keys(
+    table: np.ndarray, stash: np.ndarray, h1u: np.ndarray, h2u: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Core delete over ALREADY-DEDUPED keys; returns (table, stash,
+    per-key deleted mask). The mask lets chained callers forward only the
+    still-unsatisfied keys to the next table — passing an already-deleted
+    key onward would re-violate the delete precondition there."""
+    nb = table.shape[0]
+    fp = _fingerprint(h2u)
+    b1 = _bucket1(h1u, nb)
+    keys = _stash_keys_of(b1, fp, nb)
+    deleted = np.zeros(len(fp), dtype=bool)
+
+    d1 = _delete_pass(table, fp, b1)
+    deleted[d1] = True
+    fp2 = fp[~d1]
+    b2 = _alt_bucket(b1[~d1], fp2, nb)
+    d2 = _delete_pass(table, fp2, b2)
+    idx2 = np.flatnonzero(~d1)
+    deleted[idx2[d2]] = True
+
+    rem_idx = idx2[~d2]
+    rem_keys = keys[rem_idx]
+    if len(rem_keys) and len(stash):
+        # remove ONE stash occurrence per requested key (keys may repeat
+        # when colliders are expired together — k requests take k copies)
+        order = np.argsort(stash, kind="stable")
+        sorted_stash = stash[order]
+        rk_order = np.argsort(rem_keys, kind="stable")
+        rk = rem_keys[rk_order]
+        occ = np.arange(len(rk)) - np.searchsorted(rk, rk, side="left")
+        p = np.searchsorted(sorted_stash, rk, side="left") + occ
+        p_clip = np.minimum(p, len(sorted_stash) - 1)
+        valid = (p < len(sorted_stash)) & (sorted_stash[p_clip] == rk)
+        del_mask = np.zeros(len(stash), dtype=bool)
+        del_mask[order[p[valid]]] = True
+        deleted[rem_idx[rk_order[valid]]] = True
+        stash = stash[~del_mask]
+    return table, stash, deleted
+
+
 def delete_many(
     table: np.ndarray, stash: np.ndarray, h1: np.ndarray, h2: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, int]:
@@ -255,49 +310,168 @@ def delete_many(
     in the same bucket may clear only one copy this call — an error in the
     SAFE direction (the leftover copy is a false positive, never a false
     negative)."""
-    nb = table.shape[0]
     h1 = np.asarray(h1)
     h2 = np.asarray(h2)
     _, uniq = np.unique(np.stack([h1, h2], axis=1), axis=0, return_index=True)
-    fp = _fingerprint(h2[uniq])
-    b1 = _bucket1(h1[uniq], nb)
-    keys = _stash_keys_of(b1, fp, nb)
+    table, stash, deleted = _delete_keys(table, stash, h1[uniq], h2[uniq])
+    return table, stash, int(deleted.sum())
 
-    d1 = _delete_pass(table, fp, b1)
-    fp2 = fp[~d1]
-    b2 = _alt_bucket(b1[~d1], fp2, nb)
-    d2 = _delete_pass(table, fp2, b2)
-    n_deleted = int(d1.sum()) + int(d2.sum())
 
-    rem_keys = keys[~d1][~d2]
-    if len(rem_keys) and len(stash):
-        # remove ONE stash occurrence per requested key (keys may repeat
-        # when colliders are expired together — k requests take k copies)
-        order = np.argsort(stash, kind="stable")
-        sorted_stash = stash[order]
-        rk = np.sort(rem_keys, kind="stable")
-        occ = np.arange(len(rk)) - np.searchsorted(rk, rk, side="left")
-        p = np.searchsorted(sorted_stash, rk, side="left") + occ
-        p_clip = np.minimum(p, len(sorted_stash) - 1)
-        valid = (p < len(sorted_stash)) & (sorted_stash[p_clip] == rk)
-        del_mask = np.zeros(len(stash), dtype=bool)
-        del_mask[order[p[valid]]] = True
-        n_deleted += int(valid.sum())
-        stash = stash[~del_mask]
-    return table, stash, n_deleted
+# --- table chain (growth) ---------------------------------------------------
+
+_MAGIC2 = np.uint64(0x43554B43484E3032)  # "CUKCHN02"
+_CHDR = 16  # magic + n_tables
+_CMETA = 24  # nb, ns, n per table
+LOAD = 0.84
+
+
+def table_cap(nb: int, load: float = LOAD) -> int:
+    """Items a table accepts before the chain grows the next one."""
+    return int(nb * SLOTS * load)
+
+
+def serialize_chain(states: list[tuple[np.ndarray, np.ndarray, int]]) -> bytes:
+    header = np.array([_MAGIC2, len(states)], dtype=np.uint64)
+    meta = np.array(
+        [[t.shape[0], len(s), n] for t, s, n in states], dtype=np.uint64
+    )
+    payload = b"".join(t.tobytes() + s.tobytes() for t, s, _ in states)
+    return header.tobytes() + meta.tobytes() + payload
+
+
+def deserialize_chain(blob: bytes,
+                      n_items: int = 0) -> list[tuple[np.ndarray, np.ndarray, int]]:
+    magic = np.frombuffer(blob[:8], dtype=np.uint64)[0]
+    if magic == _MAGIC:  # v1 single-table blob → one-entry chain
+        table, stash = deserialize(blob)
+        return [(table, stash, n_items)]
+    if magic != _MAGIC2:
+        raise ValueError(
+            "not a cuckoo blob (bad magic) — was this warehouse built with "
+            "seen_filter='bloom'? The two filter kinds share the seen_bloom "
+            "table but not a blob format."
+        )
+    n_tables = int(np.frombuffer(blob[8:16], dtype=np.uint64)[0])
+    meta = np.frombuffer(
+        blob[_CHDR:_CHDR + n_tables * _CMETA], dtype=np.uint64
+    ).reshape(n_tables, 3)
+    states, off = [], _CHDR + n_tables * _CMETA
+    for nb, ns, n in meta:
+        nb, ns, n = int(nb), int(ns), int(n)
+        t_end = off + nb * SLOTS * 2
+        table = (
+            np.frombuffer(blob[off:t_end], dtype=np.uint16)
+            .reshape(nb, SLOTS).copy()
+        )
+        stash = np.frombuffer(blob[t_end:t_end + ns * 8], dtype=np.uint64).copy()
+        states.append((table, stash, n))
+        off = t_end + ns * 8
+    return states
+
+
+def insert_chain(
+    states: list[tuple[np.ndarray, np.ndarray, int]],
+    h1: np.ndarray, h2: np.ndarray,
+) -> list[tuple[np.ndarray, np.ndarray, int]]:
+    """Fill the newest table to its load cap; overflow appends a 2× table.
+    Splitting is positional (first `room` keys stay) — membership is
+    chain-wide, so placement doesn't matter for probes, and each key still
+    lives in exactly one table for per-copy deletion."""
+    i = 0
+    while i < len(h1):
+        table, stash, n = states[-1]
+        room = table_cap(table.shape[0]) - n
+        if room <= 0:
+            states.append(
+                empty_state(table.shape[0] * 2) + (0,)
+            )
+            continue
+        take = min(room, len(h1) - i)
+        table, stash, n_new = insert_many(
+            table, stash, h1[i:i + take], h2[i:i + take]
+        )
+        states[-1] = (table, stash, n + n_new)
+        i += take
+    return states
+
+
+def probe_chain(
+    states: list[tuple[np.ndarray, np.ndarray, int]],
+    h1: np.ndarray, h2: np.ndarray,
+) -> np.ndarray:
+    out = np.zeros(len(h1), dtype=bool)
+    for table, stash, _ in states:
+        miss = ~out
+        if not miss.any():
+            break
+        out[miss] = _probe_state(table, stash, h1[miss], h2[miss])
+    return out
+
+
+def _probe_state(table: np.ndarray, stash: np.ndarray,
+                 h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    if len(h1) == 0:
+        return np.zeros(0, dtype=bool)
+    nb = table.shape[0]
+    fp = _fingerprint(np.asarray(h2))
+    b1 = _bucket1(np.asarray(h1), nb)
+    b2 = _alt_bucket(b1, fp, nb)
+    hit = (table[b1] == fp[:, None]).any(axis=1)
+    hit |= (table[b2] == fp[:, None]).any(axis=1)
+    if len(stash):
+        hit |= np.isin(_stash_keys_of(b1, fp, nb), stash)
+    return hit
+
+
+def delete_chain(
+    states: list[tuple[np.ndarray, np.ndarray, int]],
+    h1: np.ndarray, h2: np.ndarray,
+) -> tuple[list[tuple[np.ndarray, np.ndarray, int]], int]:
+    """Delete ONE copy per requested key across the chain. Keys are deduped
+    on (h1, h2); each table only sees the keys the earlier tables did NOT
+    satisfy — forwarding a satisfied key would re-run the delete against
+    another table where only a collider's copy could match."""
+    h1 = np.asarray(h1)
+    h2 = np.asarray(h2)
+    _, uniq = np.unique(np.stack([h1, h2], axis=1), axis=0, return_index=True)
+    h1u, h2u = h1[uniq], h2[uniq]
+    n_deleted = 0
+    for idx, (table, stash, n) in enumerate(states):
+        if len(h1u) == 0:
+            break
+        table, stash, deleted = _delete_keys(table, stash, h1u, h2u)
+        d = int(deleted.sum())
+        states[idx] = (table, stash, max(n - d, 0))
+        n_deleted += d
+        h1u, h2u = h1u[~deleted], h2u[~deleted]
+    return states, n_deleted
+
+
+def chain_stats_row(part_id: int, blob: bytes,
+                    n_items: int) -> tuple[int, int, int, int, float]:
+    """(part_id, n_tables, n_items, capacity, newest-table fill) — feeds
+    bloom.filter_stats for the round saturation metrics."""
+    states = deserialize_chain(blob, n_items)
+    cap = sum(table_cap(t.shape[0]) for t, _, _ in states)
+    last_t, _, last_n = states[-1]
+    last_cap = table_cap(last_t.shape[0])
+    fill = last_n / last_cap if last_cap else 0.0
+    return (part_id, len(states), n_items, cap, round(fill, 4))
 
 
 class PartitionedCuckoo:
     """Drop-in for bloom.PartitionedBloom: same merge_blobs/probe surface,
     same (part_id, bits, n_items) blob rows, same cogroup physical plan —
     crawl.py switches implementations without touching the round pipeline.
+    Each blob is a growth chain of tables (module docstring), so capacity
+    is a starting size, not a ceiling, and every stash stays bounded.
     """
 
     def __init__(self, n_buckets: int):
         self.nb = n_buckets
 
     @classmethod
-    def for_capacity(cls, expected_n: int, load: float = 0.84) -> "PartitionedCuckoo":
+    def for_capacity(cls, expected_n: int, load: float = LOAD) -> "PartitionedCuckoo":
         return cls(cuckoo_buckets(expected_n, load))
 
     def merge_blobs(self, filters: DataFrame, new_hashes: DataFrame) -> DataFrame:
@@ -306,19 +480,18 @@ class PartitionedCuckoo:
         def merge(key, blob_pdf: pd.DataFrame, hashes_pdf: pd.DataFrame) -> pd.DataFrame:
             part_id = int(key[0])
             if len(blob_pdf):
-                table, stash = deserialize(blob_pdf["bits"].iloc[0])
                 n0 = int(blob_pdf["n_items"].iloc[0])
+                states = deserialize_chain(blob_pdf["bits"].iloc[0], n0)
             else:
-                table, stash = empty_state(nb)
+                states = [empty_state(nb) + (0,)]
                 n0 = 0
-            table, stash, n_new = insert_many(
-                table, stash,
-                hashes_pdf["h1"].to_numpy(), hashes_pdf["h2"].to_numpy(),
-            )
+            h1 = hashes_pdf["h1"].to_numpy()
+            states = insert_chain(states, h1, hashes_pdf["h2"].to_numpy())
+            n_new = sum(n for _, _, n in states) - n0
             return pd.DataFrame(
                 {
                     "part_id": [part_id],
-                    "bits": [serialize(table, stash)],
+                    "bits": [serialize_chain(states)],
                     "n_items": [n0 + n_new],
                 }
             )
@@ -337,16 +510,16 @@ class PartitionedCuckoo:
             part_id = int(key[0])
             if not len(blob_pdf):
                 return pd.DataFrame(columns=["part_id", "bits", "n_items"])
-            table, stash = deserialize(blob_pdf["bits"].iloc[0])
             n0 = int(blob_pdf["n_items"].iloc[0])
-            table, stash, n_del = delete_many(
-                table, stash,
+            states = deserialize_chain(blob_pdf["bits"].iloc[0], n0)
+            states, n_del = delete_chain(
+                states,
                 hashes_pdf["h1"].to_numpy(), hashes_pdf["h2"].to_numpy(),
             )
             return pd.DataFrame(
                 {
                     "part_id": [part_id],
-                    "bits": [serialize(table, stash)],
+                    "bits": [serialize_chain(states)],
                     "n_items": [max(n0 - n_del, 0)],
                 }
             )
@@ -371,8 +544,12 @@ class PartitionedCuckoo:
             if len(blob_pdf) == 0:
                 cand_pdf["maybe_seen"] = False
             else:
-                cand_pdf["maybe_seen"] = probe_filter(
+                states = deserialize_chain(
                     blob_pdf["bits"].iloc[0],
+                    int(blob_pdf["n_items"].iloc[0]),
+                )
+                cand_pdf["maybe_seen"] = probe_chain(
+                    states,
                     cand_pdf[h1_col].to_numpy(),
                     cand_pdf[h2_col].to_numpy(),
                 )

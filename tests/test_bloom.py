@@ -50,6 +50,65 @@ def test_incremental_merge_preserves_members():
     assert bloom.probe_bits(bits, b1, b2, m, k).all()
 
 
+def test_scalable_growth_3x_capacity_bounds_fpp(spark):
+    """VERDICT r02 scale defect: insert 3× past the configured capacity —
+    the blob must GROW (layer chain) instead of saturating. Criteria:
+    (a) measured fpp stays under ~2× configured (the scalable-Bloom bound),
+    (b) zero false negatives, (c) the chain actually grew."""
+    cap, fpp = 2_000, 0.01
+    rng = np.random.default_rng(11)
+    n = 3 * cap
+    h1 = rng.integers(-(2**62), 2**62, n, dtype=np.int64)
+    # production h1/h2 are INDEPENDENT xxhash64 salts; an affine h2 would
+    # break double-hashing independence (all k positions become affine in
+    # h1 → pairwise full-collisions at rate n/m) and inflate fpp ~10x
+    h2 = rng.integers(-(2**62), 2**62, n, dtype=np.int64)
+
+    layers = [bloom._fresh_layer(0, cap, fpp)]
+    # insert in crawl-round-sized batches (growth decisions happen at batch
+    # boundaries inside the merge task)
+    for i in range(0, n, 500):
+        layers = bloom.insert_layers(layers, h1[i:i + 500], h2[i:i + 500],
+                                     cap, fpp)
+    assert len(layers) >= 2  # grew: 3x capacity needs cap + 2·cap layers
+    assert sum(l.n for l in layers) == n
+    # (b) no false negatives
+    assert bloom.probe_layers(layers, h1, h2).all()
+    # (a) fpp over fresh keys < 2x configured
+    probe1 = rng.integers(-(2**62), 2**62, 50_000, dtype=np.int64)
+    probe2 = rng.integers(-(2**62), 2**62, 50_000, dtype=np.int64)
+    measured = bloom.probe_layers(layers, probe1, probe2).mean()
+    assert measured < 2 * fpp, f"fpp {measured:.4f} exceeds 2x configured"
+    # round-trip through the serialized blob
+    blob = bloom.serialize_layers(layers)
+    layers2 = bloom.deserialize_layers(blob)
+    assert bloom.probe_layers(layers2, h1, h2).all()
+
+
+def test_merge_blobs_grows_past_capacity(spark):
+    """Same growth through the Spark cogroup merge path: a partition fed
+    3× its capacity keeps exact membership and reports layered stats."""
+    from pyspark.sql import functions as F
+
+    pb = bloom.PartitionedBloom.for_capacity(100, 0.01)
+    urls = [(f"http://h{i % 3}.ca/p{i}",) for i in range(1200)]
+    seen = spark.createDataFrame(urls, ["url"])
+    seen_h = bloom.with_bloom_hashes(seen, "url", 4)
+    blobs = spark.createDataFrame([], bloom.BLOOM_SCHEMA)
+    # three merges of 400 — growth must work incrementally across merges
+    for lo in (0, 400, 800):
+        chunk = spark.createDataFrame(urls[lo:lo + 400], ["url"])
+        ch = bloom.with_bloom_hashes(chunk, "url", 4)
+        blobs = pb.merge_blobs(blobs, ch.select("part_id", "h1", "h2")).cache()
+        blobs.count()
+    probed = pb.probe(seen_h, blobs)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    stats = bloom.filter_stats(blobs).collect()
+    assert all(r.n_layers >= 2 for r in stats)  # every partition chained
+    assert sum(r.n_items for r in stats) == 1200
+    assert all(r.fill <= 1.0 for r in stats)
+
+
 def test_spark_probe_and_merge(spark):
     num_parts = 4
     pb = bloom.PartitionedBloom(*bloom.bloom_params(10_000, 0.01))

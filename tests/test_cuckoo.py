@@ -165,6 +165,53 @@ def test_serialize_roundtrip():
     assert (t2 == table).all() and (s2 == stash).all()
 
 
+def test_chain_growth_3x_capacity_bounds_stash(spark):
+    """VERDICT r02 scale defect (cuckoo side): insert 3× past capacity —
+    the blob chains 2× tables instead of dumping overflow into one
+    unbounded stash. Criteria: chain grew, EVERY stash stays bounded (only
+    sub-cap kick failures may land there), zero false negatives, fpp still
+    tiny, and per-copy deletion works across the chain."""
+    cap = 1_000
+    states = [cuckoo.empty_state(cuckoo.cuckoo_buckets(cap)) + (0,)]
+    rng = np.random.default_rng(5)
+    n = 3 * cap
+    h1 = rng.integers(-(2**62), 2**62, n, dtype=np.int64)
+    for i in range(0, n, 250):
+        states = cuckoo.insert_chain(states, h1[i:i + 250], _h2(h1[i:i + 250]))
+    assert len(states) >= 2
+    assert sum(s[2] for s in states) == n
+    for _, stash, _ in states:
+        assert len(stash) < 64, f"stash grew to {len(stash)} — not bounded"
+    assert cuckoo.probe_chain(states, h1, _h2(h1)).all()
+    probe = rng.integers(-(2**62), 2**62, 50_000, dtype=np.int64)
+    fp = cuckoo.probe_chain(states, probe, _h2(probe)).mean()
+    assert fp < 0.01  # ~1.2e-4 per table, len(chain) tables
+
+    # serialize round-trip
+    states2 = cuckoo.deserialize_chain(cuckoo.serialize_chain(states))
+    assert cuckoo.probe_chain(states2, h1, _h2(h1)).all()
+
+    # chain delete: every key deletable exactly once, wherever it lives
+    victims = h1[::7]
+    states2, n_del = cuckoo.delete_chain(states2, victims, _h2(victims))
+    assert n_del == len(victims)
+    assert not cuckoo.probe_chain(states2, victims, _h2(victims)).any()
+    kept = np.setdiff1d(h1, victims)
+    assert cuckoo.probe_chain(states2, kept, _h2(kept)).all()
+
+
+def test_v1_blob_reads_as_chain():
+    """A pre-growth single-table blob stays readable (decodes as a
+    one-entry chain)."""
+    table, stash = _fresh(500)
+    keys = np.arange(300, dtype=np.int64)
+    table, stash, _ = cuckoo.insert_many(table, stash, keys, _h2(keys))
+    v1_blob = cuckoo.serialize(table, stash)
+    states = cuckoo.deserialize_chain(v1_blob, n_items=300)
+    assert len(states) == 1 and states[0][2] == 300
+    assert cuckoo.probe_chain(states, keys, _h2(keys)).all()
+
+
 def test_spark_probe_merge_delete(spark):
     """Same scenario as test_bloom.test_spark_probe_and_merge, plus the
     delete pass Bloom cannot do. with_bloom_hashes is shared — the cuckoo

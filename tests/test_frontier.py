@@ -18,8 +18,9 @@ CDICT = corpus_mod.corpus_dict(CORPUS)
 SEEDS = corpus_mod.seed_urls(CORPUS, n=2)
 
 
-def run_engine(spark, tmp_path, **cfg_kwargs):
-    cfg = CrawlConfig(num_partitions=4, bloom_capacity=10_000, **cfg_kwargs)
+def run_engine(spark, tmp_path, bloom_capacity=10_000, **cfg_kwargs):
+    cfg = CrawlConfig(num_partitions=4, bloom_capacity=bloom_capacity,
+                      **cfg_kwargs)
     eng = CrawlEngine(
         spark, corpus_mod.corpus_df(spark, CORPUS), str(tmp_path / "wh"), cfg
     )
@@ -64,18 +65,32 @@ def assert_equivalent(eng, stats, sim):
         dict(max_depth=2, batch_size=10, host_budget=3, salt_buckets=4),
         dict(max_depth=2, batch_size=12, allowed_domains=("hub0.ca", "site1.ca")),
         dict(max_depth=3, batch_size=7, host_budget=2, seen_filter="cuckoo"),
+        # growth configs: capacity 2 forces the scalable blobs to chain
+        # multiple layers/tables MID-CRAWL — results must be identical
+        # (both filter kinds are exact-verified prefilters at any fill).
+        # 2, not 8: cuckoo capacity rounds UP to a power-of-two bucket
+        # count (4 buckets × 4 slots × 0.84 load = 13 fingerprints), and
+        # growth must actually trigger for the assertion below
+        dict(max_depth=3, batch_size=7, bloom_capacity=2),
+        dict(max_depth=3, batch_size=7, bloom_capacity=2,
+             seen_filter="cuckoo"),
     ],
     ids=["plain-bfs", "host-budget", "salted-budget", "domain-filter",
-         "cuckoo-seen"],
+         "cuckoo-seen", "bloom-growth", "cuckoo-growth"],
 )
 def test_engine_matches_simulator(spark, tmp_path, kwargs):
     sim_kwargs = {
-        k: v for k, v in kwargs.items() if k not in ("salt_buckets", "seen_filter")
+        k: v for k, v in kwargs.items()
+        if k not in ("salt_buckets", "seen_filter", "bloom_capacity")
     }
     sim = simulate_crawl(CDICT, SEEDS, **sim_kwargs)
     eng, stats = run_engine(spark, tmp_path, **kwargs)
     assert len(stats) == len(sim.rounds)
     assert_equivalent(eng, stats, sim)
+    if kwargs.get("bloom_capacity") == 2:
+        # the point of the config: growth actually happened, and the round
+        # metrics surfaced it
+        assert max(s.n_filter_layers for s in stats) > 1
 
 
 def test_robots_filtering(spark, tmp_path):

@@ -175,6 +175,17 @@ class CrawlConfig:
     # reference's 60 s worker timeout)
     fetcher: str = "corpus"
     fetch_timeout: float = 60.0
+    # within-round per-host pacing (http mode): minimum seconds between two
+    # requests to the same host inside a fetch task — the AutoThrottle
+    # analog (reference settings.py:71-78; the per-round host budget O5
+    # bounds volume, this bounds rate). >0 also repartitions the batch by
+    # host so ONE task owns each host's spacing.
+    host_min_interval: float = 0.0
+    # render seam (http mode): (url, html) -> html applied inside the fetch
+    # task. The reference renders in Chromium via Playwright
+    # (playwright_middleware.py:104-137) — not runnable here, so JS
+    # rendering is this config seam, not a code path (sources/fetcher.py).
+    renderer: object | None = None
     # broadcast the batch into the corpus scan (right while batches fit the
     # broadcast budget — the html column never shuffles). At 10^7-row
     # production batches the broadcast is GB-scale: set False to let
@@ -482,7 +493,25 @@ class CrawlEngine:
         if cfg.fetcher == "http":
             from louis_crawler_legacy_spark.sources.fetcher import http_fetch
 
-            fetched_raw = http_fetch(batch, timeout=cfg.fetch_timeout)
+            fetch_in = batch
+            if cfg.host_min_interval > 0:
+                # one task must own each host's request spacing
+                fetch_in = batch.repartition(
+                    self.spark.sparkContext.defaultParallelism, "host"
+                )
+            fetched_raw = http_fetch(
+                fetch_in, timeout=cfg.fetch_timeout,
+                host_min_interval=cfg.host_min_interval,
+                renderer=cfg.renderer,
+            )
+            # canonicalize: the page lives under its POST-REDIRECT url
+            # (link resolution, page identity, seen set); the requested url
+            # rides along for seen bookkeeping + the requested→final edge
+            fetched_raw = (
+                fetched_raw.withColumn("requested_url", F.col("url"))
+                .withColumn("url", F.coalesce("final_url", "url"))
+                .drop("final_url")
+            )
         else:
             batch_side = F.broadcast(batch) if cfg.broadcast_batch else batch
             hits = self.corpus.drop("host").join(batch_side, "url", "inner")
@@ -491,7 +520,9 @@ class CrawlEngine:
                 .withColumn("status", F.lit(None).cast("int"))
                 .withColumn("html", F.lit(None).cast("string"))
             )
-            fetched_raw = hits.unionByName(misses)
+            fetched_raw = hits.unionByName(misses).withColumn(
+                "requested_url", F.col("url")
+            )
         fetched = fetched_raw.withColumn(
             "success", F.col("status").isNotNull() & (F.col("status") < 400)
         ).cache()
@@ -500,18 +531,38 @@ class CrawlEngine:
         extracted = extract_pages(
             ok,
             list(cfg.allowed_domains) or None,
-            passthrough=["url", "host", "depth", "discovery_round",
-                         "discovery_seq", "batch_seq"],
+            passthrough=["url", "requested_url", "host", "depth",
+                         "discovery_round", "discovery_seq", "batch_seq"],
         ).cache()
         n_scraped = extracted.count()
+        # errored rows are recorded under the REQUESTED url — that's the
+        # frontier entry that must never be retried
         errored = fetched.filter(~F.col("success")).select(
-            "url", "host", "depth", "batch_seq"
+            F.col("requested_url").alias("url"), "host", "depth", "batch_seq"
         )
+        # redirect handling (http mode): a redirected fetch may land on a
+        # final url that (a) another fetch of this round also landed on, or
+        # (b) an earlier round already stored. Keep the first occurrence
+        # per final url and drop finals already in seen — ONE page row per
+        # canonical url, ever. Corpus mode has url == requested_url by
+        # construction, so this entire branch is skipped (no extra
+        # exchange in the oracle-equivalence path).
+        if cfg.fetcher == "http":
+            first_w = Window.partitionBy("url").orderBy("batch_seq")
+            pages_src = (
+                extracted.withColumn("_rn", F.row_number().over(first_w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .join(self._seen_df.select("url"), "url", "left_anti")
+                .cache()
+            )
+        else:
+            pages_src = extracted
         _mark("fetch+extract")
         n_errored = n_batch - n_scraped
 
         # S7: pages upsert (MERGE by url)
-        page_rows = extracted.select(
+        page_rows = pages_src.select(
             F.xxhash64("url").alias("id"),
             "url",
             "title",
@@ -539,10 +590,20 @@ class CrawlEngine:
 
         _mark("pages_write")
         # S10/J6: link edges insert-if-absent
-        edges = extracted.select(
+        edges = pages_src.select(
             F.col("url").alias("source_url"),
             F.explode("children").alias("destination_url"),
-        ).dropDuplicates(["source_url", "destination_url"])
+        )
+        if cfg.fetcher == "http":
+            # record the requested→final redirect as a link edge so the
+            # graph keeps the alias relationship
+            edges = edges.unionByName(
+                extracted.filter(F.col("url") != F.col("requested_url")).select(
+                    F.col("requested_url").alias("source_url"),
+                    F.col("url").alias("destination_url"),
+                )
+            )
+        edges = edges.dropDuplicates(["source_url", "destination_url"])
         if cfg.unique_fetch:
             # src fetched once ⇒ (src,dst) can never repeat across rounds;
             # within-round dedup above suffices (J6 insert-if-absent holds)
@@ -561,7 +622,7 @@ class CrawlEngine:
             # parse it a second time (spans_from_extracted ≡ docs_to_spans
             # on raw html, pinned by tests/test_spans.py)
             spans_df = spans_from_extracted(
-                extracted.select(
+                pages_src.select(
                     F.col("url").alias("doc_id"), "content", "children"
                 )
             )
@@ -572,7 +633,8 @@ class CrawlEngine:
         # matching the reference's file-update order (:839-849)
         seen_add = (
             extracted.select(
-                "url", "host", F.xxhash64("url").alias("url_hash"),
+                "url", _host(F.col("url")).alias("host"),
+                F.xxhash64("url").alias("url_hash"),
                 F.lit(round_no).alias("round_added"), F.lit("scraped").alias("status"),
             )
             .unionByName(
@@ -583,6 +645,24 @@ class CrawlEngine:
                 )
             )
         )
+        if cfg.fetcher == "http":
+            # redirects: mark the REQUESTED url seen too (a rediscovery of
+            # either side must not refetch), and guard against duplicate
+            # seen rows — two requests landing on one final url this round,
+            # or a final url an earlier round already recorded. Exactly one
+            # seen row (and one filter insert — the cuckoo multiset
+            # contract) per url, ever.
+            seen_add = seen_add.unionByName(
+                extracted.filter(F.col("url") != F.col("requested_url")).select(
+                    F.col("requested_url").alias("url"), "host",
+                    F.xxhash64("requested_url").alias("url_hash"),
+                    F.lit(round_no).alias("round_added"),
+                    F.lit("scraped").alias("status"),
+                )
+            )
+            seen_add = seen_add.dropDuplicates(["url"]).join(
+                self._seen_df.select("url"), "url", "left_anti"
+            )
         # localCheckpoint: materialize AND truncate the logical plan —
         # without it the state lineage grows every round and Catalyst
         # re-analysis goes exponential (the classic iterative-job trap).
@@ -601,7 +681,7 @@ class CrawlEngine:
         _mark("seen+bloom_ckpt")
         # candidates: children at depth+1 ≤ max_depth (O2), discovery order =
         # (src batch_seq, link position), first-occurrence dedup by url
-        cand = extracted.filter(F.col("depth") + 1 <= cfg.max_depth).select(
+        cand = pages_src.filter(F.col("depth") + 1 <= cfg.max_depth).select(
             "batch_seq",
             (F.col("depth") + 1).cast("int").alias("next_depth"),
             F.posexplode("children").alias("pos", "cand_url"),
@@ -701,9 +781,11 @@ class CrawlEngine:
             n_filter_layers, filter_fill = -1, -1.0
 
         _mark("frontier_ckpt+counts")
-        # outputs keep running into the next round; extracted stays cached
-        # until they drain (its cache backs the span/page/link jobs)
-        self._out_tasks.append((_FutureGroup(out_futures), [extracted]))
+        # outputs keep running into the next round; extracted (and the
+        # http-mode redirect-deduped view over it) stays cached until they
+        # drain (the caches back the span/page/link jobs)
+        out_caches = [extracted] if pages_src is extracted else [extracted, pages_src]
+        self._out_tasks.append((_FutureGroup(out_futures), out_caches))
 
         self._swap_state(frontier_new, seen_new, blooms_new)
         self._dirty = True

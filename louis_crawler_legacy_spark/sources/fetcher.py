@@ -5,70 +5,133 @@ The sandbox rounds replay a corpus table (the reference itself replays a
 local cache dir through its downloader middleware, middlewares.py:104-117),
 but a user pointing the engine at a real site needs an actual fetch path.
 This is the Spark twin of the reference worker fetch
-(goldie_playwright_parallel.py:101-160): stdlib urllib instead of
-Playwright (no JS rendering — documented divergence; the reference's
-Playwright is a browser-automation dependency out of scope here), with the
-reference's per-URL timeout (60 s, goldie_playwright_parallel.py:732) and
-its status routing (HTTP errors carry their code; transport errors have no
-status → routed to `errored` by the round's `status < 400` filter, F7).
+(goldie_playwright_parallel.py:101-160): stdlib urllib with the reference's
+per-URL timeout (60 s, goldie_playwright_parallel.py:732) and its status
+routing (HTTP errors carry their code; transport errors have no status →
+routed to `errored` by the round's `status < 400` filter, F7).
 
-Scale shape: one task per batch partition, sequential URLs within a task
-(politeness is enforced upstream by the per-host budget — O5); the wide
-html column is born in the fetch task and never shuffles, exactly like the
-corpus-join path. Select via CrawlConfig(fetcher="http").
+Three production behaviors beyond the bare fetch:
+
+- **redirects**: urllib follows them; the FINAL url (``resp.geturl()``)
+  comes back as a ``final_url`` column so the round pipeline can record
+  the page under its canonical url, mark both urls seen, and keep a
+  requested→final link edge (otherwise a redirect-heavy site stores
+  duplicate content under both urls and the seen set misses the canonical
+  one).
+- **per-host pacing** (``host_min_interval``): the reference's
+  AutoThrottle holds per-host concurrency at 1.0 with adaptive delays
+  (settings.py:71-78). The per-round host budget (O5) bounds VOLUME; this
+  bounds the within-task request RATE: the task interleaves hosts
+  round-robin (so same-host waits overlap other hosts' fetches) and
+  enforces a minimum interval between same-host requests. Pair with a
+  host-partitioned batch (crawl.py repartitions by host when pacing is
+  on) so one task owns each host's spacing.
+- **render seam** (``renderer``): the reference's production spider
+  renders pages in Chromium via Playwright
+  (playwright_middleware.py:104-137, goldie_playwright_parallel.py:101-160)
+  — a browser cannot run in this sandbox, so JS rendering is a documented
+  divergence. The seam makes it a CONFIG, not a rewrite: a renderer is a
+  ``(url, html) -> html`` callable applied inside the fetch task (e.g. a
+  Playwright page.content() wrapper on a real deployment); ``None`` keeps
+  the raw body.
+
+Scale shape: one task per batch partition, sequential URLs within a task;
+the wide html column is born in the fetch task and never shuffles, exactly
+like the corpus-join path. Select via CrawlConfig(fetcher="http").
 """
 
 from __future__ import annotations
 
+import time
 import urllib.error
 import urllib.request
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 DEFAULT_TIMEOUT = 60.0  # goldie_playwright_parallel.py:732
-USER_AGENT = "louis-crawler-legacy-spark/0.2"
+USER_AGENT = "louis-crawler-legacy-spark/0.3"
 
 
 def fetch_url(url: str, timeout: float = DEFAULT_TIMEOUT,
-              user_agent: str = USER_AGENT) -> tuple[int | None, str | None]:
-    """(status, html) for one URL; (None, None) on transport failure —
-    the round pipeline routes non-2xx/3xx and None to `errored` (F7)."""
+              user_agent: str = USER_AGENT) -> tuple[int | None, str | None, str]:
+    """(status, html, final_url) for one URL; (None, None, url) on
+    transport failure — the round pipeline routes non-2xx/3xx and None to
+    `errored` (F7). final_url is the post-redirect URL urllib landed on
+    (== url when no redirect happened)."""
     req = urllib.request.Request(url, headers={"User-Agent": user_agent})
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             body = resp.read()
             charset = resp.headers.get_content_charset() or "utf-8"
-            return int(resp.status), body.decode(charset, errors="replace")
+            final = resp.geturl() or url
+            return int(resp.status), body.decode(charset, errors="replace"), final
     except urllib.error.HTTPError as e:
-        return int(e.code), None
+        return int(e.code), None, getattr(e, "url", None) or url
     except Exception:
-        return None, None
+        return None, None, url
+
+
+def _paced_order(hosts: pd.Series) -> list[int]:
+    """Row order that ROUND-ROBINS across hosts (k-th URL of every host
+    before any (k+1)-th) so same-host min-interval waits overlap other
+    hosts' fetches instead of serializing the task."""
+    by_host: dict[str, int] = {}
+    ranks = []
+    for h in hosts:
+        r = by_host.get(h, 0)
+        ranks.append(r)
+        by_host[h] = r + 1
+    return sorted(range(len(ranks)), key=lambda i: (ranks[i], i))
 
 
 def http_fetch(batch: DataFrame, timeout: float = DEFAULT_TIMEOUT,
-               user_agent: str = USER_AGENT) -> DataFrame:
-    """batch(url, …passthrough) → + status int, html string.
+               user_agent: str = USER_AGENT,
+               host_min_interval: float = 0.0,
+               renderer: Callable[[str, str], str] | None = None) -> DataFrame:
+    """batch(url, host, …passthrough) → + status int, html string,
+    final_url string.
 
-    Same output schema as the corpus fetch-join so the rest of the round
-    pipeline is fetcher-agnostic. The batch arrives range-partitioned from
-    select_batch — tasks fetch disjoint URL slices in parallel."""
+    Same output schema as the corpus fetch-join (plus final_url) so the
+    rest of the round pipeline is fetcher-agnostic. With pacing off the
+    batch arrives range-partitioned from select_batch (tasks fetch
+    disjoint URL slices in parallel); with pacing on crawl.py partitions
+    it by host so one task owns each host's request spacing."""
     schema = T.StructType(
         list(batch.schema.fields)
         + [T.StructField("status", T.IntegerType()),
-           T.StructField("html", T.StringType())]
+           T.StructField("html", T.StringType()),
+           T.StructField("final_url", T.StringType())]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_hit: dict[str, float] = {}  # host → last request timestamp
         for pdf in batches:
-            results = [fetch_url(u, timeout, user_agent) for u in pdf["url"]]
-            out = pdf.copy()
-            out["status"] = pd.array(
-                [s for s, _ in results], dtype="Int32"
+            order = (
+                _paced_order(pdf["host"])
+                if host_min_interval > 0 and "host" in pdf
+                else range(len(pdf))
             )
-            out["html"] = [h for _, h in results]
+            results: list[tuple] = [None] * len(pdf)  # type: ignore[list-item]
+            urls = pdf["url"].tolist()
+            hosts = pdf["host"].tolist() if "host" in pdf else urls
+            for i in order:
+                if host_min_interval > 0:
+                    wait = last_hit.get(hosts[i], -1e18) + host_min_interval \
+                        - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                    last_hit[hosts[i]] = time.monotonic()
+                status, html, final = fetch_url(urls[i], timeout, user_agent)
+                if renderer is not None and html is not None:
+                    html = renderer(final, html)
+                results[i] = (status, html, final)
+            out = pdf.copy()
+            out["status"] = pd.array([r[0] for r in results], dtype="Int32")
+            out["html"] = [r[1] for r in results]
+            out["final_url"] = [r[2] for r in results]
             yield out
 
     return batch.mapInPandas(gen, schema=schema)

@@ -1,10 +1,12 @@
 """HTTP fetcher (sources/fetcher.py): unit fetch behavior against a local
-http.server, and a 2-round end-to-end crawl through the SAME round pipeline
-with CrawlConfig(fetcher="http")."""
+http.server, redirect canonicalization, per-host pacing, the render seam,
+and a 2-round end-to-end crawl through the SAME round pipeline with
+CrawlConfig(fetcher="http")."""
 
 from __future__ import annotations
 
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
@@ -26,11 +28,29 @@ PAGES = {
         '<h1>One</h1><p>leaf</p><a href="/page/0">back</a></main></body></html>',
     ),
     "/page/2": (500, "<html><body>boom</body></html>"),
+    "/canonical": (
+        200,
+        "<html><head><title>Canon</title></head><body><main>"
+        '<h1>Canon</h1><p>canonical text</p>'
+        '<a href="/page/1">rel</a></main></body></html>',
+    ),
 }
+
+REDIRECTS = {"/moved": "/canonical", "/moved2": "/canonical"}
 
 
 class _Handler(BaseHTTPRequestHandler):
+    server_version = "test"
+    request_log: list[tuple[float, str]] = []  # (monotonic ts, path)
+
     def do_GET(self):
+        type(self).request_log.append((time.monotonic(), self.path))
+        if self.path in REDIRECTS:
+            self.send_response(302)
+            self.send_header("Location", REDIRECTS[self.path])
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
         status, body = PAGES.get(self.path, (404, "missing"))
         data = body.encode()
         self.send_response(status)
@@ -53,14 +73,22 @@ def server():
 
 
 def test_fetch_url_statuses(server):
-    status, html = fetch_url(f"{server}/page/0", timeout=5)
+    status, html, final = fetch_url(f"{server}/page/0", timeout=5)
     assert status == 200 and "Root" in html
-    status, html = fetch_url(f"{server}/page/2", timeout=5)
+    assert final == f"{server}/page/0"  # no redirect → final == requested
+    status, html, _ = fetch_url(f"{server}/page/2", timeout=5)
     assert status == 500 and html is None  # HTTPError carries its code
-    status, html = fetch_url(f"{server}/nope", timeout=5)
+    status, html, _ = fetch_url(f"{server}/nope", timeout=5)
     assert status == 404 and html is None
-    status, html = fetch_url("http://127.0.0.1:1/never", timeout=2)
+    status, html, final = fetch_url("http://127.0.0.1:1/never", timeout=2)
     assert status is None and html is None  # transport failure
+    assert final == "http://127.0.0.1:1/never"
+
+
+def test_fetch_url_follows_redirect_reports_final(server):
+    status, html, final = fetch_url(f"{server}/moved", timeout=5)
+    assert status == 200 and "canonical text" in html
+    assert final == f"{server}/canonical"
 
 
 def test_http_fetch_mapinpandas(spark, server):
@@ -73,6 +101,83 @@ def test_http_fetch_mapinpandas(spark, server):
     assert "root text" in rows[f"{server}/page/0"].html
     assert rows[f"{server}/page/2"].status == 500
     assert rows[f"{server}/missing"].status == 404
+
+
+def test_per_host_pacing_spacing_and_results(spark, server):
+    """host_min_interval: same-host requests inside a task are spaced by at
+    least the interval (timestamps recorded server-side), different hosts
+    interleave, and the fetch results are unchanged."""
+    _Handler.request_log.clear()
+    # two "hosts" (same server, distinct host labels) × 3 urls each
+    rows = [(f"{server}/page/0", "a"), (f"{server}/page/1", "a"),
+            (f"{server}/canonical", "a"),
+            (f"{server}/page/0", "b"), (f"{server}/page/1", "b"),
+            (f"{server}/canonical", "b")]
+    batch = spark.createDataFrame(rows, ["url", "host"]).coalesce(1)
+    out = http_fetch(batch, timeout=5, host_min_interval=0.3).collect()
+    assert len(out) == 6 and all(r.status == 200 for r in out)
+    # reconstruct per-host spacing from the rows' fetch order server-side:
+    # each host's requests must be >= 0.29s apart (tolerance for clock)
+    log = list(_Handler.request_log)
+    assert len(log) == 6
+    # round-robin order means hosts alternate → total wall ~2 intervals,
+    # not 4 (interleaving proof): first and last request < 3*interval apart
+    assert log[-1][0] - log[0][0] < 3 * 0.3 + 0.25
+    # spacing proof per host label: requests for the same PATH pair off by
+    # host; stronger: successive same-host fetches are the odd/even slots
+    by_slot = [ts for ts, _ in log]
+    gaps = [b - a for a, b in zip(by_slot, by_slot[2:])]  # same-host stride 2
+    assert all(g >= 0.29 for g in gaps), gaps
+
+
+def test_renderer_seam_applied(spark, server):
+    """CrawlConfig(renderer=...) — the Playwright divergence as a config
+    seam: a (url, html) -> html callable runs inside the fetch task."""
+
+    def fake_render(url, html):
+        return html.replace("root text", f"RENDERED::{url.rsplit('/', 1)[1]}")
+
+    batch = spark.createDataFrame([(f"{server}/page/0", "a")], ["url", "host"])
+    rows = http_fetch(batch, timeout=5, renderer=fake_render).collect()
+    assert "RENDERED::0" in rows[0].html
+
+
+def test_redirect_crawl_one_page_both_seen_no_refetch(spark, server, tmp_path):
+    """Redirect canonicalization through the FULL round pipeline: seed two
+    urls that both redirect to one canonical page → ONE stored page (under
+    the final url), requested AND final urls in seen, requested→final link
+    edges, and a later re-seed of any of the three urls refetches nothing."""
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(
+        max_depth=0, batch_size=8, num_partitions=2, bloom_capacity=1_000,
+        fetcher="http", fetch_timeout=5.0,
+    )
+    eng = CrawlEngine(spark, corpus=None, warehouse_dir=str(tmp_path / "wh"),
+                      config=cfg)
+    seeds = [f"{server}/moved", f"{server}/moved2"]
+    stats = eng.run(seeds=seeds)
+    assert stats[0].n_batch == 2
+
+    pages = eng.pages.read().collect()
+    assert [p.url for p in pages] == [f"{server}/canonical"]
+    assert pages[0].title == "Canon"
+
+    seen = {r.url for r in eng.seen.read().collect()}
+    assert seen == {f"{server}/moved", f"{server}/moved2",
+                    f"{server}/canonical"}
+
+    links = {(r.source_url, r.destination_url)
+             for r in eng.links.read().collect()}
+    assert (f"{server}/moved", f"{server}/canonical") in links
+    assert (f"{server}/moved2", f"{server}/canonical") in links
+
+    # rediscovery: re-seeding requested or final urls fetches NOTHING
+    _Handler.request_log.clear()
+    stats2 = eng.run(seeds=seeds + [f"{server}/canonical"], max_rounds=2,
+                     start_round=5)
+    assert stats2 == []
+    assert _Handler.request_log == []
 
 
 def test_two_round_http_crawl(spark, server, tmp_path):

@@ -419,11 +419,44 @@ def x_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_spans(docs_to_spans(_docs_as_html(spark, sf_dir)))
 
 
-@query("x_frontier_crawl")  # rows-only: full crawl over a synthetic corpus
+def _frontier_oracle() -> str:
+    """EXACT oracle for the full iterative engine (VERDICT r02 next-round
+    #5): the per-round metrics are deterministic integers whose spec is the
+    pure-Python reference simulator (simulator.py — the same oracle the
+    9-config pytest equality suite pins states against). Running it at
+    query-registration time and emitting the rounds as a typed VALUES table
+    lets the DRIVER GATE independently pin the engine against the
+    simulator — engine and oracle share no Spark code, only the corpus
+    generator and the extraction functions (whose equality has its own
+    unit tests)."""
+    from louis_crawler_legacy_spark.simulator import simulate_crawl
+    from louis_crawler_legacy_spark.sources import corpus as corpus_mod
+
+    corpus = corpus_mod.generate_corpus(
+        seed=42, n_hosts=3, pages_per_host=6, hub_factor=2, links_per_page=4
+    )
+    sim = simulate_crawl(
+        corpus_mod.corpus_dict(corpus), corpus_mod.seed_urls(corpus, n=2),
+        max_depth=2, batch_size=16, host_budget=8,
+    )
+    rows = ", ".join(
+        f"({r.round}, {len(r.batch)}, {len(r.scraped)}, {len(r.errored)}, "
+        f"{len(r.new_pending)})"
+        for r in sim.rounds
+    )
+    return f"""
+    SELECT CAST(c0 AS INTEGER) AS round, CAST(c1 AS BIGINT) AS n_batch,
+           CAST(c2 AS BIGINT) AS n_scraped, CAST(c3 AS BIGINT) AS n_errored,
+           CAST(c4 AS BIGINT) AS n_new_frontier
+    FROM (VALUES {rows}) AS t(c0, c1, c2, c3, c4)
+    """
+
+
+@query("x_frontier_crawl", _frontier_oracle())
 def x_frontier_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end frontier engine: deterministic corpus → BFS rounds with
-    host budget → per-round metrics table. Semantics pinned vs the
-    pure-Python reference simulator in tests/test_frontier.py."""
+    host budget → per-round metrics table, EXACT-matched against the
+    reference simulator's rounds via the VALUES oracle above."""
     import tempfile
 
     from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
@@ -445,7 +478,7 @@ def x_frontier_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
-@query("x_frontier_crawl_cuckoo")  # rows-only: cuckoo seen-layer twin
+@query("x_frontier_crawl_cuckoo", _frontier_oracle())  # exact: same oracle
 def x_frontier_crawl_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The identical crawl with the cuckoo-filter seen layer
     (CrawlConfig(seen_filter="cuckoo"), operators/cuckoo.py). Both filter

@@ -57,6 +57,51 @@ def test_minhash_single_aggregate(spark):
     assert "HashAggregate" in plan
 
 
+def test_d3_hot_block_triggers_aqe_skew_split(spark):
+    """The blocked dedup paths rely on AQE's skew-join for hot blocks
+    (session.py enables it; dedup.py documents it). Prove it actually
+    fires AND doesn't change results: plant one block holding 80% of the
+    docs, lower the skew thresholds to test scale, and the final adaptive
+    plan must show the skewed partition split — with the exact expected
+    pair set (hot-block C(800,2) pairs; every cold block is a singleton)."""
+    import random
+
+    from louis_crawler_legacy_spark.operators.dedup import ngram_jaccard_pairs
+
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    knobs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        rng = random.Random(7)
+
+        def words():
+            return " ".join(f"w{rng.randrange(10**9)}" for _ in range(12))
+
+        rows = [(f"hot{i}", "alpha beta " + words()) for i in range(800)]
+        rows += [(f"cold{i}", f"u{i} v{i} " + words()) for i in range(200)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+        out = ngram_jaccard_pairs(df, threshold=0.0)
+        got = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead" in plan and "skewed" in plan
+        # results unchanged by the split: exactly the hot block's pairs
+        assert len(got) == 800 * 799 // 2
+        assert all(r.id_a.startswith("hot") and r.id_b.startswith("hot")
+                   for r in got)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_seen_state_probe_never_shuffles_blobs(spark, tmp_path):
     """The 10^10-scale seen-state layout (PLANS.md): filter blobs persisted
     BUCKETED by part_id feed the probe cogroup with NO Exchange on the blob

@@ -110,6 +110,47 @@ def test_spark_submit_cli(tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
 
 
+def test_log_stats_cli(tmp_path):
+    """scripts/log_stats.py — the reference log_analyzer.py twin (:46-182):
+    per-[TASK:id] rollups + global stats via native regexp extraction."""
+    log = tmp_path / "crawler.log"
+    log.write_text(
+        "2024-01-01 10:00:00,000 [TASK:aaaa1111] Processing URL 1/5: http://x.ca/a\n"
+        "2024-01-01 10:00:02,500 [TASK:aaaa1111] Successfully processed http://x.ca/a\n"
+        "2024-01-01 10:00:01,000 [TASK:bbbb2222] Processing URL 2/5: http://x.ca/b\n"
+        "2024-01-01 10:00:01,250 [TASK:bbbb2222] Error processing http://x.ca/b: timeout\n"
+        "general startup line without a task id\n"
+        "\n"
+        "2024-01-01 10:00:05,000 [TASK:cccc3333] Processing URL 3/5: http://x.ca/c\n"
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def cli(*args):
+        out = subprocess.run(
+            [sys.executable, "/root/repo/scripts/log_stats.py", str(log), *args],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    res = cli()
+    tasks, stats = res["tasks"], res["stats"]
+    assert set(tasks) == {"aaaa1111", "bbbb2222", "cccc3333"}
+    assert tasks["aaaa1111"]["status"] == "success"
+    assert tasks["aaaa1111"]["url"] == "http://x.ca/a"
+    assert tasks["aaaa1111"]["duration_sec"] == 2.5
+    assert tasks["bbbb2222"]["status"] == "error"
+    assert tasks["bbbb2222"]["error"] == "timeout"
+    assert tasks["cccc3333"]["status"] == "unknown"
+    assert stats["total_tasks"] == 3 and stats["successful"] == 1
+    assert stats["failed"] == 1 and stats["unknown"] == 1
+    assert stats["max_duration"] == 2.5
+    assert res["general_lines"] == 1
+
+    detail = cli("bbbb2222")
+    assert len(detail) == 2 and "timeout" in detail[1]["line"]
+
+
 def test_storage_stats_cli(tmp_path):
     """scripts/storage_stats.py — the reference storage_manager twin
     (stats / recent / search over the warehouse, storage_manager.py:57-223)."""

@@ -78,13 +78,17 @@ FRONTIER_CFG = dict(max_depth=2, batch_size=8_192, host_budget=None,
 # 8→32 on this box is memory-bandwidth-bound for allocation-heavy Python
 # parsing — a pure-multiprocessing control (no Spark) caps at ~2.5× there,
 # and the engine matches/exceeds that control — see BENCH.md.
+# Round size: the r02 ladder showed efficiency is round-size-dependent
+# (fixed per-round costs amortize); both ladders now run the SAME
+# doubled-round workload (12k pages, batch 8,192 — the regime the r02
+# table reached 0.71-0.75 in), which also makes them directly comparable.
 SCALING_LEVELS = ("2", "8")
 SCALING_BENCH = dict(
-    n_pages=6_000, n_hosts=24, links_per_page=12,
+    n_pages=12_000, n_hosts=24, links_per_page=12,
     min_words=8000, max_words=14000,
 )
-SCALING_CFG = dict(max_depth=2, batch_size=4_096, host_budget=None,
-                   num_partitions=16, bloom_capacity=100_000,
+SCALING_CFG = dict(max_depth=2, batch_size=8_192, host_budget=None,
+                   num_partitions=16, bloom_capacity=200_000,
                    detailed_metrics=False, checkpoint_every=0,
                    collect_batch_urls=False, build_spans=True)
 
@@ -210,7 +214,7 @@ def run_scaling_level(spec: str) -> dict:
         app_name=f"bench-{spec}", master=master
     )
     if master is None:
-        seeds, bp, cp = 1024, SCALING_BENCH, SCALING_CFG
+        seeds, bp, cp = 2048, SCALING_BENCH, SCALING_CFG
     else:
         seeds, bp, cp = 2048, SCALING_EXEC_BENCH, SCALING_EXEC_CFG
     try:

@@ -35,6 +35,7 @@ a background thread, overlapping the next round's compute.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -198,6 +199,16 @@ class CrawlConfig:
     # benchmark, off in the reference-equivalence oracle (the reference
     # chunks in a separate spider, hawn — see plans/pipelines.py)
     build_spans: bool = False
+    # overlap round k+1's batch selection with round k's tail: as soon as
+    # frontier′ materializes, select_batch(frontier′) runs on a background
+    # thread, concurrent with the round's metrics/stats bookkeeping,
+    # checkpoint submit, and the draining output appends — removing the
+    # largest remaining SERIAL driver cost from the round critical path
+    # (the r02 full-loop-efficiency gap). Deterministic: selection is a
+    # pure function of the frontier state, and the prefetch is discarded
+    # whenever the state it was computed from is replaced (resume, expire,
+    # rollback, bootstrap).
+    prefetch_batch: bool = True
 
 
 class _FutureGroup:
@@ -309,14 +320,57 @@ class CrawlEngine:
         # its outputs landed) and before reads/rollback/run-end.
         self._out_pool = ThreadPoolExecutor(max_workers=5)
         self._out_tasks: list[tuple] = []  # (future, [dfs to unpersist])
+        # next-round batch prefetch (own worker — output jobs must never
+        # queue ahead of the next round's critical path)
+        self._select_pool = ThreadPoolExecutor(max_workers=1)
+        self._next_batch: tuple | None = None  # (future, frontier_df)
+        # seen/bloom state merges run as BACKGROUND futures resolved lazily
+        # by the NEXT round (which probes against the previous state and
+        # excludes its own batch explicitly) — the merge + materialization
+        # overlaps the next round's fetch+extract instead of sitting on the
+        # round critical path. One pool (2 workers: seen ∥ bloom); round
+        # k+1's merge chains on round k's via the lazy accessor.
+        self._state_pool = ThreadPoolExecutor(max_workers=2)
+        self._state_lock = threading.Lock()
+        self._seen_fut: tuple | None = None  # (future, input_df_to_release)
+        self._blooms_fut: tuple | None = None
 
     # -- state management --------------------------------------------------------
+    def _resolve(self, fut_attr: str, df_attr: str) -> None:
+        """Resolve a pending state merge: wait OUTSIDE the lock (the merge
+        task itself resolves the previous round's future through this same
+        path — holding the lock across result() would deadlock), then
+        first-resolver-wins bookkeeping: install the result, release the
+        merge's input DataFrame (any checkpoint that read it was joined
+        before the pending pair was installed)."""
+        with self._state_lock:
+            pending = getattr(self, fut_attr)
+        if pending is None:
+            return
+        df = pending[0].result()
+        with self._state_lock:
+            if getattr(self, fut_attr) is pending:
+                setattr(self, df_attr, df)
+                setattr(self, fut_attr, None)
+                if pending[1] is not None:
+                    pending[1].unpersist()
+
+    def _seen(self) -> DataFrame:
+        """Seen rows through the last completed round (resolving the
+        pending background merge if one is in flight)."""
+        self._resolve("_seen_fut", "_seen_df")
+        return self._seen_df
+
+    def _blooms(self) -> DataFrame:
+        self._resolve("_blooms_fut", "_blooms_df")
+        return self._blooms_df
+
     def _load_state(self) -> None:
         if self._frontier_df is None:
             self._frontier_df = self.frontier.read().cache()
-        if self._seen_df is None:
+        if self._seen_df is None and self._seen_fut is None:
             self._seen_df = self.seen.read().cache()
-        if self._blooms_df is None:
+        if self._blooms_df is None and self._blooms_fut is None:
             # a warehouse checkpointed with one filter kind must not be
             # reopened with the other: the blobs share a table but not a
             # format (cuckoo blobs are magic-tagged, so that direction
@@ -341,6 +395,18 @@ class CrawlEngine:
         if fut is not None:
             fut.result()
 
+    def _discard_prefetch(self, nb: tuple | None = None) -> None:
+        """Drop a (possibly in-flight) batch prefetch whose frontier state
+        is gone — wait for it, then release its materialized blocks."""
+        if nb is None:
+            nb, self._next_batch = self._next_batch, None
+        if nb is not None:
+            try:
+                batch, _ = nb[0].result()
+                batch.unpersist()
+            except Exception:
+                pass  # its frontier may already be unpersisted — discard
+
     def _drain_outputs(self) -> None:
         """Join all in-flight output appends (surfacing failures), then
         release the cached DataFrames they were reading."""
@@ -351,16 +417,42 @@ class CrawlEngine:
             for df in dfs:
                 df.unpersist()
 
-    def _swap_state(self, frontier_df, seen_df, blooms_df) -> None:
+    def _swap_state(self, frontier_df, seen, blooms) -> None:
+        """Install the next round's state. ``seen``/``blooms`` are either a
+        resolved DataFrame (or None, for reload-from-tables paths) or a
+        ``(future, input_df)`` pair for a merge still running in the
+        background — the input DataFrame's release is deferred to the
+        resolution point (the future reads it)."""
+        # a pending prefetch was computed from the OLD frontier — discard
+        # (run_round re-submits from the new state right after swapping)
+        self._discard_prefetch()
+        # settle merges still pending from the PREVIOUS state (no-op on
+        # the normal round path, which resolved them mid-round; real work
+        # only on reload paths like expire/rollback)
+        if self._seen_fut is not None:
+            self._seen()
+        if self._blooms_fut is not None:
+            self._blooms()
         # an in-flight checkpoint reads the OLD state DataFrames — join it
         # before unpersisting them
         self._join_checkpoint()
-        for old in (self._frontier_df, self._seen_df, self._blooms_df):
-            if old is not None:
-                old.unpersist()
-        self._frontier_df, self._seen_df, self._blooms_df = (
-            frontier_df, seen_df, blooms_df,
-        )
+        if self._frontier_df is not None:
+            self._frontier_df.unpersist()
+        self._frontier_df = frontier_df
+        for df_attr, fut_attr, new in (
+            ("_seen_df", "_seen_fut", seen),
+            ("_blooms_df", "_blooms_fut", blooms),
+        ):
+            cur = getattr(self, df_attr)
+            if isinstance(new, tuple):
+                # pending merge — `cur` is its input, kept alive until the
+                # resolution bookkeeping releases it
+                setattr(self, fut_attr, new)
+                setattr(self, df_attr, None)
+            else:
+                if cur is not None and cur is not new:
+                    cur.unpersist()
+                setattr(self, df_attr, new)
 
     def checkpoint(self, round_no: int, wait: bool = False) -> None:
         """Snapshot the in-memory state (X5) — asynchronously, so the
@@ -378,8 +470,14 @@ class CrawlEngine:
         if self._dirty:
             self._join_checkpoint()  # keep snapshot commits ordered
             out_tasks, self._out_tasks = self._out_tasks, []
+            # capture the state VERSION at submit time: a still-pending
+            # merge is captured as its future (resolved by the background
+            # writer — never on this thread)
+            sf, bf = self._seen_fut, self._blooms_fut
             state = (
-                self._frontier_df, self._seen_df, self._blooms_df,
+                self._frontier_df,
+                sf[0] if sf is not None else self._seen_df,
+                bf[0] if bf is not None else self._blooms_df,
                 list(self._pending_metrics), out_tasks,
             )
             self._pending_metrics = []
@@ -393,6 +491,11 @@ class CrawlEngine:
 
     def _write_checkpoint(self, round_no: int, state: tuple) -> None:
         frontier_df, seen_df, blooms_df, pending_metrics, out_tasks = state
+        # a captured pending merge resolves here, off the round loop
+        if hasattr(seen_df, "result"):
+            seen_df = seen_df.result()
+        if hasattr(blooms_df, "result"):
+            blooms_df = blooms_df.result()
         # outputs first: the snapshot must not commit before its rounds'
         # appends are durable
         for fut, _ in out_tasks:
@@ -471,7 +574,13 @@ class CrawlEngine:
 
         self._load_state()
         frontier_df = self._frontier_df
-        batch, n_batch = self.select_batch(frontier_df)
+        nb, self._next_batch = self._next_batch, None
+        if nb is not None and nb[1] is frontier_df:
+            batch, n_batch = nb[0].result()  # prefetched last round
+        else:
+            if nb is not None:  # stale prefetch (state was replaced)
+                self._discard_prefetch(nb)
+            batch, n_batch = self.select_batch(frontier_df)
         if cfg.collect_batch_urls:
             batch_rows = batch.select("url", "batch_seq").orderBy("batch_seq").collect()
             batch_urls = [r.url for r in batch_rows]
@@ -553,7 +662,7 @@ class CrawlEngine:
                 extracted.withColumn("_rn", F.row_number().over(first_w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
-                .join(self._seen_df.select("url"), "url", "left_anti")
+                .join(self._seen().select("url"), "url", "left_anti")
                 .cache()
             )
         else:
@@ -661,24 +770,31 @@ class CrawlEngine:
                 )
             )
             seen_add = seen_add.dropDuplicates(["url"]).join(
-                self._seen_df.select("url"), "url", "left_anti"
+                self._seen().select("url"), "url", "left_anti"
             )
         # localCheckpoint: materialize AND truncate the logical plan —
         # without it the state lineage grows every round and Catalyst
         # re-analysis goes exponential (the classic iterative-job trap).
         # Durability comes from checkpoint() snapshots, not these blocks.
-        # seen and bloom are independent — materialize them as concurrent
-        # jobs (both read the already-cached extraction output).
+        # Both merges run ENTIRELY in the background (resolved lazily by
+        # round r+1, which has a full fetch+extract phase to hide them
+        # behind): this round's candidate dedup probes the THROUGH-r-1
+        # state and excludes its own batch explicitly below — identical
+        # semantics (seen_r = seen_{r-1} ∪ batch_r), zero serial state
+        # cost on the round critical path.
         add_hashes = bloom_mod.with_bloom_hashes(
             seen_add.select("url"), "url", cfg.num_partitions
         ).select("part_id", "h1", "h2")
-        seen_fut = out_pool.submit(
-            lambda: self._seen_df.unionByName(seen_add).localCheckpoint()
+        seen_fut = self._state_pool.submit(
+            lambda: self._seen().unionByName(seen_add).localCheckpoint()
         )
-        blooms_new = self.pb.merge_blobs(self._blooms_df, add_hashes).localCheckpoint()
-        seen_new = seen_fut.result()
+        blooms_fut = self._state_pool.submit(
+            lambda: self.pb.merge_blobs(
+                self._blooms(), add_hashes
+            ).localCheckpoint()
+        )
 
-        _mark("seen+bloom_ckpt")
+        _mark("seen+bloom_submit")
         # candidates: children at depth+1 ≤ max_depth (O2), discovery order =
         # (src batch_seq, link position), first-occurrence dedup by url
         cand = pages_src.filter(F.col("depth") + 1 <= cfg.max_depth).select(
@@ -704,20 +820,31 @@ class CrawlEngine:
         cand = cand.withColumn("host", _host(F.col("cand_url")))
         cand = robots_filter(cand, self.robots_df, url_col="cand_url")
 
-        # J2 two-stage dedup: bloom probe, then exact left-anti on the hits
+        # J2 two-stage dedup: bloom probe against the THROUGH-r-1 blobs
+        # (this round's merge is still running in the background), exact
+        # left-anti on the hits, then exclude this round's own batch — the
+        # union is exactly seen_r. The batch side is this round's ≤
+        # batch_size urls (AQE broadcasts it at sandbox/production-batch
+        # sizes it fits; plain shuffled anti otherwise).
         cand_h = bloom_mod.with_bloom_hashes(
             cand, "cand_url", cfg.num_partitions
         )
-        probed = self.pb.probe(cand_h, blooms_new).cache()
+        probed = self.pb.probe(cand_h, self._blooms()).cache()
         definitely_new = probed.filter(~F.col("maybe_seen"))
         maybe = probed.filter(F.col("maybe_seen"))
+        # NOTE: counted w.r.t. the through-r-1 state (a candidate linking
+        # back to a page fetched THIS round counts as definitively-new
+        # here and is removed by the batch anti-join below)
         n_bloom_hits = maybe.count() if cfg.detailed_metrics else -1
         confirmed_new = maybe.join(
-            seen_new.select(F.col("url").alias("cand_url")),
+            self._seen().select(F.col("url").alias("cand_url")),
             "cand_url",
             "left_anti",
         )
-        new_cand = definitely_new.unionByName(confirmed_new)
+        new_cand = definitely_new.unionByName(confirmed_new).join(
+            batch.select(F.col("url").alias("cand_url")), "cand_url",
+            "left_anti",
+        )
 
         _mark("bloom_probe+anti")
         # not already pending at the same (url, depth) (reference
@@ -772,7 +899,10 @@ class CrawlEngine:
         # one tiny job over the ≤P blob rows — only their headers are read,
         # no bits leave the tasks
         if cfg.detailed_metrics:
-            fs = bloom_mod.filter_stats(blooms_new).agg(
+            # post-merge stats need the merged blobs — resolves the future
+            # (tests/monitoring path; the tight bench loop runs with
+            # detailed_metrics off and never waits here)
+            fs = bloom_mod.filter_stats(blooms_fut.result()).agg(
                 F.max("n_layers").alias("layers"), F.max("fill").alias("fill")
             ).first()
             n_filter_layers = int(fs["layers"] or 0)
@@ -781,15 +911,31 @@ class CrawlEngine:
             n_filter_layers, filter_fill = -1, -1.0
 
         _mark("frontier_ckpt+counts")
-        # outputs keep running into the next round; extracted (and the
-        # http-mode redirect-deduped view over it) stays cached until they
-        # drain (the caches back the span/page/link jobs)
-        out_caches = [extracted] if pages_src is extracted else [extracted, pages_src]
-        self._out_tasks.append((_FutureGroup(out_futures), out_caches))
+        # outputs and state merges keep running into the next round;
+        # extracted/fetched (and the http-mode redirect-deduped view) stay
+        # cached until they drain — the seen merge reads errored rows off
+        # the fetched cache and seen_add off the extracted cache
+        out_caches = [extracted, fetched]
+        if pages_src is not extracted:
+            out_caches.append(pages_src)
+        self._out_tasks.append(
+            (_FutureGroup(out_futures + [seen_fut, blooms_fut]), out_caches)
+        )
 
-        self._swap_state(frontier_new, seen_new, blooms_new)
+        self._swap_state(
+            frontier_new,
+            (seen_fut, self._seen_df),
+            (blooms_fut, self._blooms_df),
+        )
         self._dirty = True
         self._last_round = round_no
+        if cfg.prefetch_batch:
+            # round k+1's batch selection starts NOW, overlapping this
+            # round's bookkeeping, checkpoint submit, and output drains
+            self._next_batch = (
+                self._select_pool.submit(self.select_batch, frontier_new),
+                frontier_new,
+            )
 
         wall = time.time() - t0
         stats = RoundStats(
@@ -813,10 +959,9 @@ class CrawlEngine:
         )
         if cfg.checkpoint_every and round_no % cfg.checkpoint_every == 0:
             self.checkpoint(round_no)  # async — overlaps the next round
-        fetched.unpersist()
         probed.unpersist()
-        # extracted is unpersisted by _drain_outputs once its output
-        # appends complete
+        # extracted/fetched are unpersisted by _drain_outputs once the
+        # output appends AND the background state merges complete
         return stats
 
     def run(self, seeds: list[str] | None = None, max_rounds: int = 10_000,

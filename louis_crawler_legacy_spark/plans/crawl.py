@@ -221,6 +221,9 @@ class _FutureGroup:
         for f in self._futures:
             f.result()
 
+    def done(self) -> bool:
+        return all(f.done() for f in self._futures)
+
 
 @dataclass
 class RoundStats:
@@ -416,6 +419,21 @@ class CrawlEngine:
         for _, dfs in tasks:
             for df in dfs:
                 df.unpersist()
+
+    def _reap_outputs(self) -> None:
+        """Non-blocking: release the caches of output groups that have
+        ALREADY completed. Keeps the cached round inputs (extracted,
+        fetched, old state) bounded on long runs with checkpoint_every=0,
+        where no per-round checkpoint writer drains them."""
+        still = []
+        for task in self._out_tasks:
+            if task[0].done():
+                task[0].result()  # surface failures
+                for df in task[1]:
+                    df.unpersist()
+            else:
+                still.append(task)
+        self._out_tasks = still
 
     def _swap_state(self, frontier_df, seen, blooms) -> None:
         """Install the next round's state. ``seen``/``blooms`` are either a
@@ -914,18 +932,23 @@ class CrawlEngine:
         # outputs and state merges keep running into the next round;
         # extracted/fetched (and the http-mode redirect-deduped view) stay
         # cached until they drain — the seen merge reads errored rows off
-        # the fetched cache and seen_add off the extracted cache
-        out_caches = [extracted, fetched]
+        # the fetched cache and seen_add off the extracted cache. The OLD
+        # seen/bloom state releases through the SAME drain list, NOT at
+        # merge resolution: in http mode the background page/link/span
+        # appends read pages_src, whose plan anti-joins the OLD
+        # (localCheckpointed) seen — unpersisting it at resolution while an
+        # append still runs would drop lineage-truncated blocks that can
+        # never be recomputed (block-not-found, not a recompute).
+        out_caches = [extracted, fetched, self._seen_df, self._blooms_df]
         if pages_src is not extracted:
             out_caches.append(pages_src)
+        self._reap_outputs()  # release earlier rounds' completed groups
         self._out_tasks.append(
             (_FutureGroup(out_futures + [seen_fut, blooms_fut]), out_caches)
         )
 
         self._swap_state(
-            frontier_new,
-            (seen_fut, self._seen_df),
-            (blooms_fut, self._blooms_df),
+            frontier_new, (seen_fut, None), (blooms_fut, None)
         )
         self._dirty = True
         self._last_round = round_no

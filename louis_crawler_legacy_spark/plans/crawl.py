@@ -108,6 +108,16 @@ ROBOTS_SCHEMA = T.StructType(
     ]
 )
 
+# live-fetched robots.txt rules accumulated across rounds (fetch_robots)
+ROBOTS_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
+        T.StructField("crawl_delay", T.DoubleType()),
+        T.StructField("fetched_round", T.IntegerType()),
+    ]
+)
+
 METRICS_SCHEMA = T.StructType(
     [
         T.StructField("round", T.IntegerType()),
@@ -187,6 +197,16 @@ class CrawlConfig:
     # (playwright_middleware.py:104-137) — not runnable here, so JS
     # rendering is this config seam, not a code path (sources/fetcher.py).
     renderer: object | None = None
+    # live robots.txt compliance (http mode): each round, batch hosts not
+    # yet in the warehouse `robots` table get /robots.txt fetched through
+    # the same mapInPandas fetcher and parsed (operators/robots.py);
+    # disallowed batch urls are marked seen as 'robots_blocked' WITHOUT
+    # being fetched, and candidates are pre-filtered by the accumulated
+    # table (hosts not yet fetched pass — they're gated at batch time).
+    # The static `robots` dict above still works independently (tests /
+    # reference-equivalence configs run with both off, matching the
+    # reference's ROBOTSTXT_OBEY = False).
+    fetch_robots: bool = False
     # broadcast the batch into the corpus scan (right while batches fit the
     # broadcast budget — the html column never shuffles). At 10^7-row
     # production batches the broadcast is GB-scale: set False to let
@@ -271,6 +291,7 @@ class CrawlEngine:
             ),
         )
         self.blooms = self.wh.table("seen_bloom", bloom_mod.BLOOM_SCHEMA)
+        self.robots_table = self.wh.table("robots", ROBOTS_TABLE_SCHEMA)
         if self.config.seen_filter == "cuckoo":
             from louis_crawler_legacy_spark.operators import cuckoo as cuckoo_mod
 
@@ -578,6 +599,73 @@ class CrawlEngine:
             capped, ORDER_COLS, n=cfg.batch_size, seq_col="batch_seq"
         )
 
+    def _apply_robots(self, batch: DataFrame, round_no: int):
+        """fetch_robots path: make sure robots rules exist for every batch
+        host — fetch `/robots.txt` for the not-yet-known ones through the
+        same mapInPandas fetcher (one request per host, ever), parse
+        (operators/robots.py), append to the warehouse robots table —
+        then split the batch into (rules_df, allowed, blocked). An
+        unfetchable robots.txt means allow-all (standard behavior)."""
+        import pandas as pd
+
+        from louis_crawler_legacy_spark.operators.politeness import url_path
+        from louis_crawler_legacy_spark.operators.robots import parse_robots_txt
+        from louis_crawler_legacy_spark.sources.fetcher import (
+            USER_AGENT,
+            http_fetch,
+        )
+
+        known = self.robots_table.read()
+        hosts = batch.groupBy("host").agg(F.min("url").alias("sample_url"))
+        new_hosts = hosts.join(known.select("host"), "host", "left_anti")
+        if new_hosts.count() > 0:
+            robots_req = new_hosts.select(
+                F.concat(
+                    F.regexp_extract("sample_url", r"^(https?://)", 1),
+                    F.col("host"),
+                    F.lit("/robots.txt"),
+                ).alias("url"),
+                "host",
+            )
+            fetched = http_fetch(robots_req, timeout=self.config.fetch_timeout)
+
+            def parse(batches):
+                for pdf in batches:
+                    bodies = [
+                        h if (s is not None and not pd.isna(s) and int(s) < 400)
+                        else None
+                        for s, h in zip(pdf["status"], pdf["html"])
+                    ]
+                    rows = [parse_robots_txt(b, USER_AGENT) for b in bodies]
+                    yield pd.DataFrame(
+                        {
+                            "host": pdf["host"],
+                            "disallow_prefixes": [
+                                r["disallow_prefixes"] for r in rows
+                            ],
+                            "crawl_delay": [
+                                float(r["crawl_delay"])
+                                if r["crawl_delay"] is not None else None
+                                for r in rows
+                            ],
+                            "fetched_round": round_no,
+                        }
+                    )
+
+            rules = fetched.mapInPandas(parse, schema=ROBOTS_TABLE_SCHEMA)
+            self.robots_table.append(rules, {"round": round_no, "op": "robots"})
+        rules_all = self.robots_table.read()
+        rb = F.broadcast(rules_all.select("host", "disallow_prefixes"))
+        joined = batch.join(rb, "host", "left")
+        path = url_path(F.col("url"))
+        blocked_expr = F.exists(
+            F.coalesce(F.col("disallow_prefixes"), F.array()),
+            lambda p: path.startswith(p),
+        )
+        allowed = joined.filter(~blocked_expr).drop("disallow_prefixes")
+        blocked = joined.filter(blocked_expr).drop("disallow_prefixes")
+        return rules_all, allowed, blocked
+
     def run_round(self, round_no: int) -> RoundStats | None:
         cfg = self.config
         t0 = time.time()
@@ -617,13 +705,22 @@ class CrawlEngine:
         # are recovered with a cheap anti-join on the (small) batch side.
         # HTTP mode = the production mapInPandas fetcher with the same
         # output schema. Either way: miss/status ≥ 400 → errored (F7).
+        # live robots.txt: rules for all batch hosts (fetching the new
+        # ones), disallowed urls split off before the page fetch
+        robots_live = None
+        robots_blocked = None
+        fetch_batch = batch
+        if cfg.fetch_robots and cfg.fetcher == "http":
+            robots_live, fetch_batch, robots_blocked = self._apply_robots(
+                batch, round_no
+            )
         if cfg.fetcher == "http":
             from louis_crawler_legacy_spark.sources.fetcher import http_fetch
 
-            fetch_in = batch
+            fetch_in = fetch_batch
             if cfg.host_min_interval > 0:
                 # one task must own each host's request spacing
-                fetch_in = batch.repartition(
+                fetch_in = fetch_batch.repartition(
                     self.spark.sparkContext.defaultParallelism, "host"
                 )
             fetched_raw = http_fetch(
@@ -772,6 +869,16 @@ class CrawlEngine:
                 )
             )
         )
+        if robots_blocked is not None:
+            # robots-disallowed batch urls were never fetched; they still
+            # leave the frontier and must never be re-selected
+            seen_add = seen_add.unionByName(
+                robots_blocked.select(
+                    "url", "host", F.xxhash64("url").alias("url_hash"),
+                    F.lit(round_no).alias("round_added"),
+                    F.lit("robots_blocked").alias("status"),
+                )
+            )
         if cfg.fetcher == "http":
             # redirects: mark the REQUESTED url seen too (a rediscovery of
             # either side must not refetch), and guard against duplicate
@@ -837,6 +944,13 @@ class CrawlEngine:
         # robots (engine feature; off for reference equivalence)
         cand = cand.withColumn("host", _host(F.col("cand_url")))
         cand = robots_filter(cand, self.robots_df, url_col="cand_url")
+        if robots_live is not None:
+            # live-fetched rules accumulated so far; hosts not yet fetched
+            # pass here and are gated at batch time instead
+            cand = robots_filter(
+                cand, robots_live.select("host", "disallow_prefixes"),
+                url_col="cand_url",
+            )
 
         # J2 two-stage dedup: bloom probe against the THROUGH-r-1 blobs
         # (this round's merge is still running in the background), exact
@@ -1099,7 +1213,8 @@ class CrawlEngine:
         self._join_checkpoint()
         self._drain_outputs()
         for table in (self.frontier, self.seen, self.pages, self.links,
-                      self.metrics, self.blooms, self.documents):
+                      self.metrics, self.blooms, self.documents,
+                      self.robots_table):
             target = 0
             for h in table.history():
                 if h["meta"].get("round", -1) <= round_no:

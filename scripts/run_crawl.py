@@ -37,6 +37,9 @@ def main() -> None:
     p.add_argument("--partitions", type=int, default=64)
     p.add_argument("--allowed-domains", default="", help="comma-separated substrings")
     p.add_argument("--robots-json", help="json file: host -> robots.txt body")
+    p.add_argument("--fetch-robots", action="store_true",
+                   help="live robots.txt compliance: fetch+parse /robots.txt "
+                        "per newly-seen host (http fetcher only)")
     p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--build-spans", action="store_true")
     p.add_argument("--max-rounds", type=int, default=10_000)
@@ -69,6 +72,7 @@ def main() -> None:
         detailed_metrics=False,
         fetcher=args.fetcher,
         fetch_timeout=args.fetch_timeout,
+        fetch_robots=args.fetch_robots,
     )
     if args.fetcher == "corpus" and not args.corpus:
         sys.exit("--corpus required unless --fetcher http")

@@ -28,6 +28,27 @@ PAGES = {
         '<h1>One</h1><p>leaf</p><a href="/page/0">back</a></main></body></html>',
     ),
     "/page/2": (500, "<html><body>boom</body></html>"),
+    "/robots.txt": (
+        200,
+        "# test rules\nUser-agent: other-bot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n",
+    ),
+    "/r/start": (
+        200,
+        "<html><head><title>RStart</title></head><body><main>"
+        '<h1>R</h1><p>start</p><a href="/r/a">a</a>'
+        '<a href="/private/p">p</a></main></body></html>',
+    ),
+    "/r/a": (
+        200,
+        "<html><head><title>RA</title></head><body><main>"
+        "<h1>RA</h1><p>leaf a</p></main></body></html>",
+    ),
+    "/private/p": (
+        200,
+        "<html><head><title>Secret</title></head><body><main>"
+        "<h1>S</h1><p>private</p></main></body></html>",
+    ),
     "/canonical": (
         200,
         "<html><head><title>Canon</title></head><body><main>"
@@ -177,6 +198,71 @@ def test_redirect_crawl_one_page_both_seen_no_refetch(spark, server, tmp_path):
     stats2 = eng.run(seeds=seeds + [f"{server}/canonical"], max_rounds=2,
                      start_round=5)
     assert stats2 == []
+    assert _Handler.request_log == []
+
+
+def test_parse_robots_txt_groups_and_delay():
+    from louis_crawler_legacy_spark.operators.robots import parse_robots_txt
+
+    body = PAGES["/robots.txt"][1]
+    got = parse_robots_txt(body, "louis-crawler-legacy-spark/0.3")
+    assert got == {"disallow_prefixes": ["/private/"], "crawl_delay": 2.0}
+    # the more specific group wins for its agent
+    other = parse_robots_txt(body, "other-bot/1.0")
+    assert other["disallow_prefixes"] == ["/"]
+    # missing/unfetchable file → allow-all
+    assert parse_robots_txt(None) == {
+        "disallow_prefixes": [], "crawl_delay": None,
+    }
+    # empty Disallow lines contribute nothing; comments stripped
+    assert parse_robots_txt(
+        "User-agent: *\nDisallow:\nDisallow: /x # inline\n"
+    )["disallow_prefixes"] == ["/x"]
+    # rules before any User-agent line are ignored; bad delay ignored
+    assert parse_robots_txt(
+        "Disallow: /orphan\nUser-agent: *\nCrawl-delay: soon\nDisallow: /y\n"
+    ) == {"disallow_prefixes": ["/y"], "crawl_delay": None}
+
+
+def test_fetch_robots_blocks_batch_and_candidates(spark, server, tmp_path):
+    """Live robots.txt compliance end-to-end: /robots.txt is fetched once
+    per host, a directly-seeded disallowed url is marked seen as
+    robots_blocked without being fetched, and a disallowed CANDIDATE never
+    enters the frontier; crawl-delay lands in the warehouse robots table."""
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    _Handler.request_log.clear()
+    cfg = CrawlConfig(
+        max_depth=1, batch_size=8, num_partitions=2, bloom_capacity=1_000,
+        fetcher="http", fetch_timeout=5.0, fetch_robots=True,
+    )
+    eng = CrawlEngine(spark, corpus=None, warehouse_dir=str(tmp_path / "wh"),
+                      config=cfg)
+    stats = eng.run(seeds=[f"{server}/r/start", f"{server}/private/p"])
+
+    paths = [p for _, p in _Handler.request_log]
+    assert paths.count("/robots.txt") == 1  # fetched once per host, ever
+    assert "/private/p" not in paths  # seeded but disallowed → never fetched
+
+    pages = {r.url for r in eng.pages.read().collect()}
+    assert pages == {f"{server}/r/start", f"{server}/r/a"}
+
+    seen = {r.url: r.status for r in eng.seen.read().collect()}
+    assert seen[f"{server}/private/p"] == "robots_blocked"
+    # the disallowed CANDIDATE (/private/p as a child link) was filtered
+    # before entering the frontier: its only seen row is the blocked seed
+    assert seen[f"{server}/r/start"] == "scraped"
+    assert all(u in seen for u in pages)
+
+    rules = {r.host: r for r in eng.robots_table.read().collect()}
+    host = f"{server}".split("/")[2]
+    assert list(rules[host].disallow_prefixes) == ["/private/"]
+    assert rules[host].crawl_delay == 2.0
+
+    # re-seeding the blocked url refetches nothing (it is seen)
+    _Handler.request_log.clear()
+    assert eng.run(seeds=[f"{server}/private/p"], max_rounds=1,
+                   start_round=9) == []
     assert _Handler.request_log == []
 
 

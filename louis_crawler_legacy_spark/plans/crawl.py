@@ -977,6 +977,17 @@ class CrawlEngine:
             batch.select(F.col("url").alias("cand_url")), "cand_url",
             "left_anti",
         )
+        if cfg.fetcher == "http":
+            # redirects make this round's seen additions a superset of the
+            # batch: a FINAL url reached this round is seen without being a
+            # batch url — a same-round candidate link to it must not enter
+            # the frontier (it would cost one wasted refetch next round).
+            # Corpus mode has extracted.url ⊆ batch.url, so this join would
+            # be pure overhead there.
+            new_cand = new_cand.join(
+                extracted.select(F.col("url").alias("cand_url")).distinct(),
+                "cand_url", "left_anti",
+            )
 
         _mark("bloom_probe+anti")
         # not already pending at the same (url, depth) (reference

@@ -55,6 +55,12 @@ PAGES = {
         '<h1>Canon</h1><p>canonical text</p>'
         '<a href="/page/1">rel</a></main></body></html>',
     ),
+    "/linker": (
+        200,
+        "<html><head><title>Linker</title></head><body><main>"
+        '<h1>L</h1><p>links the canonical page directly</p>'
+        '<a href="/canonical">c</a></main></body></html>',
+    ),
 }
 
 REDIRECTS = {"/moved": "/canonical", "/moved2": "/canonical"}
@@ -199,6 +205,37 @@ def test_redirect_crawl_one_page_both_seen_no_refetch(spark, server, tmp_path):
                      start_round=5)
     assert stats2 == []
     assert _Handler.request_log == []
+
+
+def test_same_round_candidate_of_redirect_final_not_refetched(
+    spark, server, tmp_path
+):
+    """A candidate link to a url that a redirect LANDED ON this same round
+    must not enter the frontier: the final url is seen without being a
+    batch url, so the candidate dedup needs the extra final-url exclusion
+    (one page row, one fetch, crawl ends after round 1)."""
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    _Handler.request_log.clear()
+    cfg = CrawlConfig(
+        max_depth=1, batch_size=8, num_partitions=2, bloom_capacity=1_000,
+        fetcher="http", fetch_timeout=5.0,
+    )
+    eng = CrawlEngine(spark, corpus=None, warehouse_dir=str(tmp_path / "wh"),
+                      config=cfg)
+    stats = eng.run(seeds=[f"{server}/moved", f"{server}/linker"])
+    # round 1: /moved (→ /canonical) + /linker. /canonical is both the
+    # redirect target AND /linker's child — the candidate is excluded, so
+    # round 2 holds only /canonical's own child /page/1
+    assert [s.batch_urls for s in stats] == [
+        [f"{server}/moved", f"{server}/linker"],
+        [f"{server}/page/1"],
+    ]
+    paths = [p for _, p in _Handler.request_log]
+    assert paths.count("/canonical") == 1  # the redirect chase only
+    pages = sorted(p.url for p in eng.pages.read().collect())
+    assert pages == [f"{server}/canonical", f"{server}/linker",
+                     f"{server}/page/1"]
 
 
 def test_parse_robots_txt_groups_and_delay():

@@ -45,8 +45,16 @@ a full table appends the next one at 2× buckets (a stored fingerprint
 can't be re-homed into a bigger table — the original h1 bits above the
 old bucket mask are gone — so chaining, not rebuild, is the growth move);
 probe ORs all tables; delete walks the chain and forwards only
-still-unsatisfied keys (per-key masks) so a deletion in table i can never
-consume a collider's copy in table j. Each table's stash only ever holds
+still-unsatisfied keys (per-key masks). CAVEAT — chained deletes weaken
+the single-table contract: a key whose copy lives in a NEWER table can
+match a collider's copy (same 16-bit fp + bucket pair under the older
+table's smaller mask) in an OLDER table and consume it, leaving the
+collider a false NEGATIVE (probability ~per-table fpp per deleted key;
+planted repro in tests/test_cuckoo.py). Callers doing bulk expiry must
+therefore REBUILD multi-table partitions from the surviving exact rows
+instead of chain-deleting — plans/crawl.expire_urls does exactly that
+(single-table blobs keep the O(delta) targeted delete, whose errors stay
+in the safe direction). Each table's stash only ever holds
 kick-failures from below its cap — bounded by construction; chain length
 grows log2(n/cap0); fpp grows linearly in chain length (≈1.2e-4 per
 table), log-bounded overall.
@@ -430,7 +438,14 @@ def delete_chain(
     """Delete ONE copy per requested key across the chain. Keys are deduped
     on (h1, h2); each table only sees the keys the earlier tables did NOT
     satisfy — forwarding a satisfied key would re-run the delete against
-    another table where only a collider's copy could match."""
+    another table where only a collider's copy could match.
+
+    UNSAFE-DIRECTION EDGE (chains of ≥2 tables only): the oldest-first
+    walk stops at the FIRST match, which may be a collider's copy in an
+    older table while the requested key's own copy sits in a newer one —
+    the collider then reads as deleted (false negative). See the module
+    docstring; bulk expiry should rebuild multi-table blobs from exact
+    rows (plans/crawl.expire_urls) rather than rely on this path."""
     h1 = np.asarray(h1)
     h2 = np.asarray(h2)
     _, uniq = np.unique(np.stack([h1, h2], axis=1), axis=0, return_index=True)

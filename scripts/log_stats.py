@@ -66,15 +66,22 @@ def task_stats(parsed):
             F.min("ts").alias("start_time"),
             F.max("ts").alias("end_time"),
             F.count("*").alias("log_count"),
-            F.max(F.col("is_ok")).alias("any_ok"),
-            F.max(F.col("is_err")).alias("any_err"),
-            F.min_by("err", F.when(F.col("err").isNotNull(), F.col("line_no")))
+            # the reference iterates lines IN ORDER and overwrites status on
+            # every marker (log_analyzer.py:82-90) — so the LAST marker
+            # wins, not any_ok-first; same for the error message (last
+            # "Error processing" match, kept even if status later flips)
+            F.max(F.when(F.col("is_ok"), F.col("line_no"))).alias("last_ok"),
+            F.max(F.when(F.col("is_err"), F.col("line_no"))).alias("last_err"),
+            F.max_by("err", F.when(F.col("err").isNotNull(), F.col("line_no")))
             .alias("error"),
         )
         .select(
             "task_id", "url", "log_count", "error",
-            F.when(F.col("any_ok"), "success")
-            .when(F.col("any_err"), "error")
+            F.when(
+                F.col("last_ok") > F.coalesce(F.col("last_err"), F.lit(-1)),
+                "success",
+            )
+            .when(F.col("last_err").isNotNull(), "error")
             .otherwise("unknown").alias("status"),
             F.round(
                 F.col("end_time").cast("double") - F.col("start_time").cast("double"),

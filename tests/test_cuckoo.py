@@ -398,3 +398,105 @@ def test_hot_host_skew_correct(spark):
     )
     probed = pc.probe(seen_h, filters)
     assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_delete_chain_cross_table_collider_edge_documented():
+    """r03 ADVICE (medium): delete_chain walks tables oldest-first and
+    stops at the first match — a key whose copy lives in a NEWER table can
+    consume a collider's copy (same 16-bit fp + bucket pair under the
+    older table's smaller mask) in an OLDER table, leaving a still-seen
+    key with zero copies: a false NEGATIVE. This test PLANTS that
+    collision and pins the edge (probability ~per-table fpp per deleted
+    key in the wild). The engine's expire path therefore REBUILDS
+    multi-table partitions from surviving seen rows instead of issuing
+    chain deletes (plans/crawl.expire_urls; test_cuckoo growth-expire
+    test below) — this unit edge is documented, not load-bearing."""
+    nb0 = cuckoo.cuckoo_buckets(100)  # 32 buckets
+    cap0 = cuckoo.table_cap(nb0)
+
+    # two distinct keys with the SAME fingerprint; same bucket in the
+    # nb0 table (h1 ≡ mod nb0) but different buckets in the 2×nb0 table
+    h2a = np.int64(11)
+    fp_a = cuckoo._fingerprint(np.array([h2a], dtype=np.int64))[0]
+    h2b = None
+    for c in range(12, 2_000_000):
+        if cuckoo._fingerprint(np.array([c], dtype=np.int64))[0] == fp_a:
+            h2b = np.int64(c)
+            break
+    assert h2b is not None
+    h1a = np.int64(12345)
+    h1b = np.int64(12345 + nb0)
+    # construction sanity: K' must NOT share K's bucket pair in table 2
+    nb1 = 2 * nb0
+    b_a = cuckoo._bucket1(np.array([h1a]), nb1)
+    b_b = cuckoo._bucket1(np.array([h1b]), nb1)
+    alt_a = cuckoo._alt_bucket(b_a, np.array([fp_a]), nb1)
+    assert b_b[0] not in (b_a[0], alt_a[0])
+
+    # K' first (lands in table 1), fillers up to the growth cap, then K
+    # (lands in table 2)
+    states = [cuckoo.empty_state(nb0) + (0,)]
+    states = cuckoo.insert_chain(
+        states, np.array([h1b]), np.array([h2b])
+    )
+    filler = np.arange(10**6, 10**6 + cap0 - 1, dtype=np.int64)
+    states = cuckoo.insert_chain(states, filler, _h2(filler))
+    states = cuckoo.insert_chain(
+        states, np.array([h1a]), np.array([h2a])
+    )
+    assert len(states) >= 2
+    assert cuckoo.probe_chain(states, np.array([h1b]), np.array([h2b]))[0]
+
+    states, n_del = cuckoo.delete_chain(
+        states, np.array([h1a]), np.array([h2a])
+    )
+    assert n_del == 1
+    # THE EDGE: K's delete consumed K's collider K' in the older table;
+    # K' is now a false negative (and K, whose copy survives in table 2,
+    # still probes seen). If this assertion ever flips, delete_chain
+    # became chain-safe and expire_urls' rebuild special-case can go.
+    assert not cuckoo.probe_chain(
+        states, np.array([h1b]), np.array([h2b])
+    )[0]
+    assert cuckoo.probe_chain(states, np.array([h1a]), np.array([h2a]))[0]
+
+
+def test_expire_rebuilds_multi_table_cuckoo_partitions(spark, tmp_path):
+    """Engine-level fix for the chained-delete edge above: expire_urls
+    REBUILDS multi-table cuckoo partitions from the surviving seen rows,
+    so after bulk expiry EVERY surviving url still probes seen (exact by
+    construction — zero false negatives regardless of planted colliders),
+    and the expired urls refetch on re-seed."""
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from louis_crawler_legacy_spark.sources import corpus as corpus_mod
+
+    corpus = corpus_mod.generate_corpus(
+        seed=11, n_hosts=3, pages_per_host=14, hub_factor=2, links_per_page=6
+    )
+    seeds = corpus_mod.seed_urls(corpus, n=2)
+    cfg = CrawlConfig(
+        num_partitions=4, bloom_capacity=2, max_depth=3, batch_size=7,
+        unique_fetch=False, seen_filter="cuckoo",
+    )
+    eng = CrawlEngine(
+        spark, corpus_mod.corpus_df(spark, corpus), str(tmp_path / "wh"), cfg
+    )
+    stats = eng.run(seeds=seeds)
+    assert max(s.n_filter_layers for s in stats) > 1  # chains actually grew
+
+    scraped = sorted(
+        r.url for r in eng.seen.read().collect() if r.status == "scraped"
+    )
+    expired = scraped[:2]
+    assert eng.expire_urls(expired) == 2
+    # rebuild exactness: every surviving seen url still probes maybe_seen
+    surviving = eng.seen.read().select("url")
+    n_surv = surviving.count()
+    probed = eng.pb.probe(
+        bloom.with_bloom_hashes(surviving, "url", cfg.num_partitions),
+        eng.blooms.read(),
+    )
+    assert probed.filter(F.col("maybe_seen")).count() == n_surv
+    # and the expired pair actually refetches on re-seed
+    s2 = eng.run(seeds=expired, max_rounds=1, start_round=50)
+    assert sorted(s2[0].batch_urls) == sorted(expired)

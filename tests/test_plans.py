@@ -149,3 +149,42 @@ def test_bucketed_seen_state_probe_never_shuffles_blobs(spark, tmp_path):
         assert n_seen >= 100  # the 100 overlapping urls (plus bloom fp)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_state_partition_count_constant_across_rounds(spark, tmp_path):
+    """The r03-measured scale defect: seen/frontier merges are unions, and
+    a union's partition count is the SUM of its children — without the
+    coalesce cap the materialized state gained ~2×corpus_parts/round
+    forever (an O(rounds) per-round task-scheduling cost on a long crawl).
+    Partitions must be CONSTANT from round 2 onward, bounded by
+    _state_parts."""
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from louis_crawler_legacy_spark.sources import corpus as corpus_mod
+
+    corpus = corpus_mod.generate_corpus(
+        seed=7, n_hosts=4, pages_per_host=30, hub_factor=3, links_per_page=6
+    )
+    cfg = CrawlConfig(
+        max_depth=6, batch_size=16, num_partitions=4, checkpoint_every=0,
+        detailed_metrics=False, collect_batch_urls=False,
+    )
+    eng = CrawlEngine(
+        spark, corpus_mod.corpus_df(spark, corpus), str(tmp_path / "wh"), cfg
+    )
+    eng.bootstrap(corpus_mod.seed_urls(corpus, n=2))
+    seen_parts, frontier_parts = [], []
+    r = 1
+    while r <= 8:
+        if eng.run_round(r) is None:
+            break
+        seen_parts.append(eng._seen().rdd.getNumPartitions())
+        frontier_parts.append(eng._frontier_df.rdd.getNumPartitions())
+        r += 1
+    eng.checkpoint(r - 1, wait=True)
+    assert len(seen_parts) >= 5, "corpus too small to exercise the loop"
+    assert len(set(seen_parts[1:])) == 1, f"seen partitions grew: {seen_parts}"
+    assert len(set(frontier_parts[1:])) == 1, (
+        f"frontier partitions grew: {frontier_parts}"
+    )
+    assert seen_parts[-1] <= eng._state_parts
+    assert frontier_parts[-1] <= eng._state_parts

@@ -122,6 +122,13 @@ def test_log_stats_cli(tmp_path):
         "general startup line without a task id\n"
         "\n"
         "2024-01-01 10:00:05,000 [TASK:cccc3333] Processing URL 3/5: http://x.ca/c\n"
+        # last-marker-wins (reference log_analyzer.py:82-90 overwrites
+        # status per line): success then a LATER error ⇒ error, and the
+        # LAST "Error processing" message wins
+        "2024-01-01 10:00:06,000 [TASK:dddd4444] Processing URL 4/5: http://x.ca/d\n"
+        "2024-01-01 10:00:06,500 [TASK:dddd4444] Error processing http://x.ca/d: first-fail\n"
+        "2024-01-01 10:00:07,000 [TASK:dddd4444] Successfully processed http://x.ca/d\n"
+        "2024-01-01 10:00:07,500 [TASK:dddd4444] Error processing http://x.ca/d: late-fail\n"
     )
     env = dict(os.environ, PYTHONPATH="/root/repo")
 
@@ -135,15 +142,17 @@ def test_log_stats_cli(tmp_path):
 
     res = cli()
     tasks, stats = res["tasks"], res["stats"]
-    assert set(tasks) == {"aaaa1111", "bbbb2222", "cccc3333"}
+    assert set(tasks) == {"aaaa1111", "bbbb2222", "cccc3333", "dddd4444"}
     assert tasks["aaaa1111"]["status"] == "success"
     assert tasks["aaaa1111"]["url"] == "http://x.ca/a"
     assert tasks["aaaa1111"]["duration_sec"] == 2.5
     assert tasks["bbbb2222"]["status"] == "error"
     assert tasks["bbbb2222"]["error"] == "timeout"
     assert tasks["cccc3333"]["status"] == "unknown"
-    assert stats["total_tasks"] == 3 and stats["successful"] == 1
-    assert stats["failed"] == 1 and stats["unknown"] == 1
+    assert tasks["dddd4444"]["status"] == "error"  # last marker wins
+    assert tasks["dddd4444"]["error"] == "late-fail"  # last message wins
+    assert stats["total_tasks"] == 4 and stats["successful"] == 1
+    assert stats["failed"] == 2 and stats["unknown"] == 1
     assert stats["max_duration"] == 2.5
     assert res["general_lines"] == 1
 

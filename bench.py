@@ -145,6 +145,107 @@ def run_frontier(spark, seed_count: int = 2048, bench_params=None,
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_http_bench(spark, n_pages_per_host: int = 80, n_hosts: int = 4) -> dict:
+    """--http: price the HTTP fetch path against corpus replay on the SAME
+    synthetic site (r03 VERDICT #8). A local ThreadingHTTPServer serves the
+    generated corpus (all hosts folded to one 127.0.0.1 netloc via
+    host-prefixed paths, links rewritten consistently), and the identical
+    rewritten corpus feeds the corpus-replay run — so the delta is exactly
+    the http-mode machinery: mapInPandas fetch, redirect window + the two
+    ≤batch anti-joins, and (variant) robots fetch/gating + pacing."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from louis_crawler_legacy_spark.sources import corpus as corpus_mod
+
+    corpus = corpus_mod.generate_corpus(
+        seed=9, n_hosts=n_hosts, pages_per_host=n_pages_per_host,
+        hub_factor=2, links_per_page=8, min_words=800, max_words=1600,
+    )
+    pages_by_path: dict[str, tuple[int, str]] = {}
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            status, body = pages_by_path.get(self.path, (404, "missing"))
+            data = body.encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            if status < 400:
+                self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    hosts = sorted({r["host"] for r in corpus})
+
+    def rewrite(s: str) -> str:
+        for h in hosts:
+            s = s.replace(f"http://{h}/", f"{base}/{h}/")
+        return s
+
+    rows = []
+    for r in corpus:
+        url = rewrite(r["url"])
+        rows.append(
+            {"url": url, "host": url.split("/")[2], "status": r["status"],
+             "html": rewrite(r["html"])}
+        )
+        pages_by_path["/" + url.split("/", 3)[3]] = (
+            r["status"], rewrite(r["html"])
+        )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    seeds = [r["url"] for r in rows[:64]]
+
+    base_cfg = dict(max_depth=3, batch_size=512, num_partitions=8,
+                    bloom_capacity=50_000, detailed_metrics=False,
+                    checkpoint_every=0, collect_batch_urls=False)
+    variants = {
+        "corpus_replay": (dict(base_cfg), True),
+        "http": (dict(base_cfg, fetcher="http", fetch_timeout=10.0), False),
+        "http_pacing": (
+            dict(base_cfg, fetcher="http", fetch_timeout=10.0,
+                 host_min_interval=0.001), False,
+        ),
+        "http_robots": (
+            dict(base_cfg, fetcher="http", fetch_timeout=10.0,
+                 fetch_robots=True), False,
+        ),
+    }
+    out = {}
+    try:
+        for name, (cfg_kw, use_corpus) in variants.items():
+            wh = tempfile.mkdtemp(prefix=f"bench_http_{name}_")
+            try:
+                cdf = None
+                if use_corpus:
+                    import pandas as pd
+
+                    cdf = spark.createDataFrame(pd.DataFrame(rows))
+                eng = CrawlEngine(spark, cdf, wh, CrawlConfig(**cfg_kw))
+                if cdf is not None:
+                    eng.corpus.count()
+                t0 = time.time()
+                stats = eng.run(seeds=seeds)
+                wall = time.time() - t0
+                scheduled = sum(s.n_batch for s in stats)
+                out[name] = {
+                    "rounds": len(stats),
+                    "urls_scheduled": scheduled,
+                    "wall_sec": round(wall, 3),
+                    "urls_per_sec": round(scheduled / wall, 2),
+                }
+            finally:
+                shutil.rmtree(wh, ignore_errors=True)
+    finally:
+        srv.shutdown()
+    return out
+
+
 def run_stage_scaling(n_pages: int = 2048) -> dict:
     """Isolated frontier-expansion STAGE (fetch+extract+chunk+spans — the
     per-round dominant work) at both levels. The full-crawl loop adds a
@@ -263,6 +364,10 @@ def main() -> None:
         print(json.dumps(run_scaling_level(cpus)))
         return
     scaling = "--scaling" in sys.argv
+    if "--http" in sys.argv:
+        spark = fresh_spark(CPUS)
+        print(json.dumps({"http_bench": run_http_bench(spark)}))
+        return
 
     spark = fresh_spark(CPUS)
     queries = run_queries(spark)

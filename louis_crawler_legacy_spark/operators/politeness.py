@@ -91,38 +91,141 @@ def url_path(url: Column) -> Column:
     return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/"))
 
 
+def url_match_target(url: Column) -> Column:
+    """RFC 9309 match target: path plus '?query' when present (robots
+    patterns match against both, §2.2.2)."""
+    q = F.parse_url(url, F.lit("QUERY"))
+    return F.concat(
+        url_path(url),
+        F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+# -- RFC 9309 rule representation --------------------------------------------
+# A robots group is an ORDERED list of rules; each rule is
+# {allow: bool, pattern: str (as written), rx: str (Java/PCRE-safe regex,
+# prefix-anchored, '*'→'.*', trailing '$'→anchor), plen: int (octets of
+# the pattern — the RFC's specificity measure)}. Evaluation: among rules
+# whose rx matches the url's path?query, the LONGEST pattern wins; on a
+# length tie allow wins; no match ⇒ allowed (RFC 9309 §2.2.2).
+
+
+def pattern_regex(pattern: str) -> str:
+    """Translate a robots.txt path pattern to an anchored regex: '*' is a
+    wildcard, a trailing '$' anchors the end, everything else is literal
+    (escaped — `re.escape` only escapes regex metacharacters, all of which
+    Java regex also treats as literal when backslash-escaped)."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(_re.escape(seg) for seg in body.split("*"))
+    return rx + "$" if anchored else rx
+
+
+def normalize_rules(rules) -> list[dict]:
+    """Accept rules as plain strings (a disallow pattern — the legacy
+    prefix form), (allow, pattern) tuples, or ready dicts; emit the full
+    rule dicts in input order."""
+    out = []
+    for r in rules or ():
+        if isinstance(r, str):
+            allow, pattern = False, r
+        elif isinstance(r, dict):
+            allow, pattern = bool(r["allow"]), r["pattern"]
+        else:
+            allow, pattern = bool(r[0]), r[1]
+        out.append(
+            {
+                "allow": allow,
+                "pattern": pattern,
+                "rx": pattern_regex(pattern),
+                "plen": len(pattern.encode("utf-8")),
+            }
+        )
+    return out
+
+
+def robots_disallowed_expr(target: Column, rules: Column) -> Column:
+    """True when the best-matching rule disallows ``target`` — the native
+    (no-Python) evaluator over a rules array column: filter to matching
+    rules (regexp_like against the pre-translated rx), then a left fold
+    keeping the longest pattern, allow winning ties. NULL/empty rules ⇒
+    allowed. Arrays are per-host and tiny, so the HOFs stay narrow."""
+    matched = F.filter(
+        F.coalesce(rules, F.array().cast(rules_type())),
+        lambda r: F.regexp_like(target, r["rx"]),
+    )
+    best = F.aggregate(
+        matched,
+        F.struct(
+            F.lit(-1).alias("plen"), F.lit(True).alias("allow")
+        ),
+        lambda acc, r: F.when(
+            (r["plen"] > acc["plen"])
+            | ((r["plen"] == acc["plen"]) & r["allow"]),
+            F.struct(r["plen"].alias("plen"), r["allow"].alias("allow")),
+        ).otherwise(acc),
+    )
+    return ~best["allow"]
+
+
+def rules_type():
+    from pyspark.sql import types as T
+
+    return T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("allow", T.BooleanType()),
+                T.StructField("pattern", T.StringType()),
+                T.StructField("rx", T.StringType()),
+                T.StructField("plen", T.IntegerType()),
+            ]
+        )
+    )
+
+
 def robots_filter(
     candidates: DataFrame,
     robots: DataFrame | None,
     url_col: str = "url",
     host_col: str = "host",
 ) -> DataFrame:
-    """Drop candidate URLs whose path matches a disallow prefix for their
-    host. robots(host, disallow_prefixes: array<string>) is tiny (one row
-    per host) → broadcast join; the prefix test is a native higher-order
-    function, no Python."""
+    """Drop candidate URLs whose best-matching robots rule for their host
+    disallows them (RFC 9309 longest-match, Allow overrides, '*'/'$'
+    supported). robots(host, rules: array<struct>) is tiny (one row per
+    host) → broadcast join; evaluation is native expressions, no Python."""
     if robots is None:
         return candidates
-    path = url_path(F.col(url_col))
+    target = url_match_target(F.col(url_col))
     joined = candidates.join(
         F.broadcast(robots.withColumnRenamed("host", host_col)),
         on=host_col,
         how="left",
     )
-    blocked = F.exists(
-        F.coalesce(F.col("disallow_prefixes"), F.array()),
-        lambda p: path.startswith(p),
-    )
-    return joined.filter(~blocked).drop("disallow_prefixes")
+    return joined.filter(
+        ~robots_disallowed_expr(target, F.col("rules"))
+    ).drop("rules")
 
 
-def robots_blocked_py(url: str, robots_map: dict[str, list[str]] | None) -> bool:
-    """Pure-Python twin for the simulator."""
+def robots_blocked_py(url: str, robots_map: dict[str, list] | None) -> bool:
+    """Pure-Python twin for the simulator — same longest-match fold, same
+    iteration order, over the same rule inputs (strings, tuples, or rule
+    dicts — see normalize_rules)."""
     if not robots_map:
         return False
+    import re as _re
     from urllib.parse import urlparse
 
     parsed = urlparse(url)
-    prefixes = robots_map.get(parsed.netloc, [])
-    path = parsed.path or "/"
-    return any(path.startswith(p) for p in prefixes)
+    rules = normalize_rules(robots_map.get(parsed.netloc, []))
+    target = (parsed.path or "/") + (
+        "?" + parsed.query if parsed.query else ""
+    )
+    best_plen, best_allow = -1, True
+    for r in rules:
+        if _re.match(r["rx"], target) and (
+            r["plen"] > best_plen or (r["plen"] == best_plen and r["allow"])
+        ):
+            best_plen, best_allow = r["plen"], r["allow"]
+    return not best_allow

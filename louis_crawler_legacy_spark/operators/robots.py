@@ -10,31 +10,37 @@ Two consumption paths share this parser:
   newly-seen host through the mapInPandas fetcher and parses inside the
   task (plans/crawl.CrawlEngine._apply_robots).
 
-Parser semantics (deliberately matched to the engine's prefix-match
-filter, documented divergences from RFC 9309): user-agent GROUPS per the
-RFC — consecutive ``User-agent:`` lines open one group, the most specific
-match wins (longest group token contained in our agent string), ``*`` is
-the fallback; ``Disallow:`` values are PATH PREFIXES (what
-politeness.robots_filter implements — ``*`` wildcards, ``$`` anchors and
-``Allow:`` overrides are not expanded); ``Crawl-delay:`` is captured
-(seconds — feed politeness.budgets_from_crawl_delays); empty
-``Disallow:`` contributes nothing; a missing/unfetchable robots.txt means
-allow-all (standard crawler behavior).
+Parser semantics (RFC 9309): user-agent GROUPS — consecutive
+``User-agent:`` lines open one group, the most specific match wins
+(longest group token contained in our agent string), ``*`` is the
+fallback; ``Allow:``/``Disallow:`` lines become ORDERED rules with ``*``
+wildcards and a trailing ``$`` end-anchor; evaluation is
+longest-pattern-wins with Allow winning length ties (so the common
+``Disallow: /`` + ``Allow: /public/`` override works), no match ⇒
+allowed (operators/politeness.robots_disallowed_expr natively, with
+robots_blocked_py as the pure-Python simulator twin); ``Crawl-delay:`` is
+captured (seconds — feed politeness.budgets_from_crawl_delays); empty
+``Allow:``/``Disallow:`` values contribute nothing; a missing/unfetchable
+robots.txt means allow-all (standard crawler behavior).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from louis_crawler_legacy_spark.plans.crawl import ROBOTS_SCHEMA
+from louis_crawler_legacy_spark.operators.politeness import normalize_rules
 
 
 def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
-    """→ {'disallow_prefixes': [...], 'crawl_delay': float|None} for the
-    best-matching user-agent group (longest token contained in ``agent``;
-    ``*`` as fallback; ``agent="*"`` selects the fallback group)."""
+    """→ {'rules': [rule dicts, in file order], 'crawl_delay': float|None,
+    'disallow_prefixes': [...]} for the best-matching user-agent group
+    (longest token contained in ``agent``; ``*`` as fallback;
+    ``agent="*"`` selects the fallback group). ``disallow_prefixes`` keeps
+    the disallow patterns as written — the legacy prefix view consumed by
+    budget helpers and older tests; the ordered ``rules`` list (with
+    Allow entries) is what the filters evaluate."""
     if not text:
-        return {"disallow_prefixes": [], "crawl_delay": None}
+        return {"rules": [], "crawl_delay": None, "disallow_prefixes": []}
     ua = agent.lower()
     groups: list[dict] = []
     cur: dict | None = None
@@ -48,7 +54,7 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
         value = value.strip()
         if key == "user-agent":
             if cur is None or not last_was_agent:
-                cur = {"agents": [], "disallow": [], "delay": None}
+                cur = {"agents": [], "rules": [], "delay": None}
                 groups.append(cur)
             cur["agents"].append(value.lower())
             last_was_agent = True
@@ -56,8 +62,8 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
         last_was_agent = False
         if cur is None:
             continue  # rules before any User-agent line: ignored (RFC)
-        if key == "disallow" and value:
-            cur["disallow"].append(value)
+        if key in ("disallow", "allow") and value:
+            cur["rules"].append((key == "allow", value))
         elif key == "crawl-delay":
             try:
                 cur["delay"] = float(value)
@@ -77,24 +83,42 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
             ):
                 best, best_len = g, len(group_agent)
     if best is None:
-        return {"disallow_prefixes": [], "crawl_delay": None}
-    return {"disallow_prefixes": list(best["disallow"]),
-            "crawl_delay": best["delay"]}
+        return {"rules": [], "crawl_delay": None, "disallow_prefixes": []}
+    rules = normalize_rules(best["rules"])
+    return {
+        "rules": rules,
+        "crawl_delay": best["delay"],
+        "disallow_prefixes": [r["pattern"] for r in rules if not r["allow"]],
+    }
 
 
 def robots_table(spark: SparkSession, robots_bodies: dict[str, str]) -> DataFrame:
-    """host → robots.txt body ⇒ robots(host, disallow_prefixes) DataFrame
-    joinable by operators/politeness.robots_filter."""
+    """host → robots.txt body ⇒ robots(host, rules) DataFrame joinable by
+    operators/politeness.robots_filter."""
+    from louis_crawler_legacy_spark.plans.crawl import ROBOTS_SCHEMA
+
     rows = []
     for host, body in sorted(robots_bodies.items()):
         parsed = parse_robots_txt(body)
-        rows.append((host, parsed["disallow_prefixes"]))
+        rows.append((host, parsed["rules"]))
     return spark.createDataFrame(rows, ROBOTS_SCHEMA)
 
 
-def robots_map(robots_bodies: dict[str, str]) -> dict[str, list[str]]:
-    """Same, as the plain dict CrawlConfig.robots consumes."""
+def robots_map(robots_bodies: dict[str, str]) -> dict[str, list]:
+    """Same, as the plain dict CrawlConfig.robots / robots_blocked_py
+    consume (full rule dicts, order preserved)."""
     return {
-        host: parse_robots_txt(body)["disallow_prefixes"]
+        host: parse_robots_txt(body)["rules"]
         for host, body in robots_bodies.items()
     }
+
+
+def rules_df(spark: SparkSession, robots: dict[str, list]) -> DataFrame:
+    """CrawlConfig.robots dict (host → patterns / (allow, pattern) tuples /
+    rule dicts) ⇒ the joinable robots(host, rules) DataFrame."""
+    from louis_crawler_legacy_spark.plans.crawl import ROBOTS_SCHEMA
+
+    return spark.createDataFrame(
+        [(h, normalize_rules(rs)) for h, rs in sorted(robots.items())],
+        ROBOTS_SCHEMA,
+    )

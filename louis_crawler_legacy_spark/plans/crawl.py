@@ -51,6 +51,7 @@ from louis_crawler_legacy_spark.operators.ordering import ranked_take
 from louis_crawler_legacy_spark.operators.politeness import (
     politeness_cap,
     robots_filter,
+    rules_type as _rules_type,
 )
 from louis_crawler_legacy_spark.operators.spans import (
     SPANS_TYPE,
@@ -101,10 +102,12 @@ LINKS_SCHEMA = T.StructType(
     ]
 )
 
+# RFC 9309 rule structs (ordered; Allow overrides, '*' wildcards, '$'
+# anchors — operators/politeness.normalize_rules / robots_disallowed_expr)
 ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType()),
-        T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
+        T.StructField("rules", _rules_type()),
     ]
 )
 
@@ -112,7 +115,7 @@ ROBOTS_SCHEMA = T.StructType(
 ROBOTS_TABLE_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType()),
-        T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
+        T.StructField("rules", _rules_type()),
         T.StructField("crawl_delay", T.DoubleType()),
         T.StructField("fetched_round", T.IntegerType()),
     ]
@@ -153,7 +156,10 @@ class CrawlConfig:
     salt_buckets: int = 0  # >1 enables salted pre-ranking for hot hosts
     num_partitions: int = 8  # host-hash partitions for seen/bloom
     allowed_domains: tuple[str, ...] = ()  # substring match on netloc
-    robots: dict[str, list[str]] | None = None  # host -> disallow prefixes
+    # host -> robots rules: plain strings (disallow patterns), (allow,
+    # pattern) tuples, or rule dicts — RFC 9309 evaluation (Allow
+    # overrides, '*', '$'); see operators/politeness.normalize_rules
+    robots: dict[str, list] | None = None
     bloom_capacity: int = 1_000_000  # seen-filter capacity (both kinds)
     bloom_fpp: float = 0.01
     # approximate-membership layer for the seen set: "bloom" (bitmap,
@@ -196,6 +202,16 @@ class CrawlConfig:
     # bounds volume, this bounds rate). >0 also repartitions the batch by
     # host so ONE task owns each host's spacing.
     host_min_interval: float = 0.0
+    # adaptive per-host throttling (http mode): the reference AutoThrottle
+    # algorithm (settings.py:71-78) — per-host intervals start at
+    # throttle_start_delay, move halfway toward observed
+    # latency/concurrency-1.0 after every response (never decreasing on
+    # errors), clamped to [host_min_interval, throttle_max_delay]. A slow
+    # host backs the crawler off instead of being hammered at the static
+    # interval. Implies host-partitioned fetch (one task owns each host).
+    adaptive_throttle: bool = False
+    throttle_start_delay: float = 5.0  # AUTOTHROTTLE_START_DELAY
+    throttle_max_delay: float = 60.0  # AUTOTHROTTLE_MAX_DELAY
     # render seam (http mode): (url, html) -> html applied inside the fetch
     # task. The reference renders in Chromium via Playwright
     # (playwright_middleware.py:104-137) — not runnable here, so JS
@@ -340,10 +356,9 @@ class CrawlEngine:
         self._robots_hosts: set[str] | None = None
         self.robots_df = None
         if self.config.robots:
-            self.robots_df = spark.createDataFrame(
-                [(h, ps) for h, ps in sorted(self.config.robots.items())],
-                ROBOTS_SCHEMA,
-            )
+            from louis_crawler_legacy_spark.operators.robots import rules_df
+
+            self.robots_df = rules_df(spark, self.config.robots)
         # in-memory state between checkpoints (cached DataFrames)
         self._frontier_df: DataFrame | None = None
         self._seen_df: DataFrame | None = None
@@ -627,7 +642,10 @@ class CrawlEngine:
         unfetchable robots.txt means allow-all (standard behavior)."""
         import pandas as pd
 
-        from louis_crawler_legacy_spark.operators.politeness import url_path
+        from louis_crawler_legacy_spark.operators.politeness import (
+            robots_disallowed_expr,
+            url_match_target,
+        )
         from louis_crawler_legacy_spark.operators.robots import parse_robots_txt
         from louis_crawler_legacy_spark.sources.fetcher import (
             USER_AGENT,
@@ -670,9 +688,7 @@ class CrawlEngine:
                     yield pd.DataFrame(
                         {
                             "host": pdf["host"],
-                            "disallow_prefixes": [
-                                r["disallow_prefixes"] for r in rows
-                            ],
+                            "rules": [r["rules"] for r in rows],
                             "crawl_delay": [
                                 float(r["crawl_delay"])
                                 if r["crawl_delay"] is not None else None
@@ -686,15 +702,13 @@ class CrawlEngine:
             self.robots_table.append(rules, {"round": round_no, "op": "robots"})
             self._robots_hosts.update(h for _, h in new_pairs)
         rules_all = self.robots_table.read()
-        rb = F.broadcast(rules_all.select("host", "disallow_prefixes"))
+        rb = F.broadcast(rules_all.select("host", "rules"))
         joined = batch.join(rb, "host", "left")
-        path = url_path(F.col("url"))
-        blocked_expr = F.exists(
-            F.coalesce(F.col("disallow_prefixes"), F.array()),
-            lambda p: path.startswith(p),
+        blocked_expr = robots_disallowed_expr(
+            url_match_target(F.col("url")), F.col("rules")
         )
-        allowed = joined.filter(~blocked_expr).drop("disallow_prefixes")
-        blocked = joined.filter(blocked_expr).drop("disallow_prefixes")
+        allowed = joined.filter(~blocked_expr).drop("rules")
+        blocked = joined.filter(blocked_expr).drop("rules")
         return rules_all, allowed, blocked
 
     def run_round(self, round_no: int) -> RoundStats | None:
@@ -749,7 +763,7 @@ class CrawlEngine:
             from louis_crawler_legacy_spark.sources.fetcher import http_fetch
 
             fetch_in = fetch_batch
-            if cfg.host_min_interval > 0:
+            if cfg.host_min_interval > 0 or cfg.adaptive_throttle:
                 # one task must own each host's request spacing
                 fetch_in = fetch_batch.repartition(
                     self.spark.sparkContext.defaultParallelism, "host"
@@ -758,6 +772,9 @@ class CrawlEngine:
                 fetch_in, timeout=cfg.fetch_timeout,
                 host_min_interval=cfg.host_min_interval,
                 renderer=cfg.renderer,
+                adaptive_throttle=cfg.adaptive_throttle,
+                throttle_start_delay=cfg.throttle_start_delay,
+                throttle_max_delay=cfg.throttle_max_delay,
             )
             # canonicalize: the page lives under its POST-REDIRECT url
             # (link resolution, page identity, seen set); the requested url
@@ -1018,7 +1035,7 @@ class CrawlEngine:
             # live-fetched rules accumulated so far; hosts not yet fetched
             # pass here and are gated at batch time instead
             cand = robots_filter(
-                cand, robots_live.select("host", "disallow_prefixes"),
+                cand, robots_live.select("host", "rules"),
                 url_col="cand_url",
             )
 

@@ -26,6 +26,16 @@ Three production behaviors beyond the bare fetch:
   enforces a minimum interval between same-host requests. Pair with a
   host-partitioned batch (crawl.py repartitions by host when pacing is
   on) so one task owns each host's spacing.
+- **adaptive throttling** (``adaptive_throttle``): the AutoThrottle
+  delay-adjustment itself (reference settings.py:71-78, Scrapy
+  AutoThrottle algorithm): each host's interval starts at
+  ``throttle_start_delay`` and after every response moves to the average
+  of itself and ``latency / throttle_target_concurrency`` — so a slow
+  host backs the crawler off toward its observed latency instead of
+  being hammered at a static interval. Non-2xx responses never DECREASE
+  the delay (Scrapy rule). Clamped to [``host_min_interval``,
+  ``throttle_max_delay``]; per-host state lives inside the fetch task,
+  which owns the host when the batch is host-partitioned.
 - **render seam** (``renderer``): the reference's production spider
   renders pages in Chromium via Playwright
   (playwright_middleware.py:104-137, goldie_playwright_parallel.py:101-160)
@@ -90,7 +100,11 @@ def _paced_order(hosts: pd.Series) -> list[int]:
 def http_fetch(batch: DataFrame, timeout: float = DEFAULT_TIMEOUT,
                user_agent: str = USER_AGENT,
                host_min_interval: float = 0.0,
-               renderer: Callable[[str, str], str] | None = None) -> DataFrame:
+               renderer: Callable[[str, str], str] | None = None,
+               adaptive_throttle: bool = False,
+               throttle_start_delay: float = 5.0,
+               throttle_max_delay: float = 60.0,
+               throttle_target_concurrency: float = 1.0) -> DataFrame:
     """batch(url, host, …passthrough) → + status int, html string,
     final_url string.
 
@@ -106,25 +120,52 @@ def http_fetch(batch: DataFrame, timeout: float = DEFAULT_TIMEOUT,
            T.StructField("final_url", T.StringType())]
     )
 
+    pacing = host_min_interval > 0 or adaptive_throttle
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         last_hit: dict[str, float] = {}  # host → last request timestamp
+        # host → current adaptive interval (AutoThrottle state; floor is
+        # host_min_interval, start throttle_start_delay, cap
+        # throttle_max_delay)
+        delays: dict[str, float] = {}
         for pdf in batches:
             order = (
                 _paced_order(pdf["host"])
-                if host_min_interval > 0 and "host" in pdf
+                if pacing and "host" in pdf
                 else range(len(pdf))
             )
             results: list[tuple] = [None] * len(pdf)  # type: ignore[list-item]
             urls = pdf["url"].tolist()
             hosts = pdf["host"].tolist() if "host" in pdf else urls
             for i in order:
-                if host_min_interval > 0:
-                    wait = last_hit.get(hosts[i], -1e18) + host_min_interval \
+                if pacing:
+                    interval = (
+                        delays.setdefault(
+                            hosts[i],
+                            max(throttle_start_delay, host_min_interval),
+                        )
+                        if adaptive_throttle
+                        else host_min_interval
+                    )
+                    wait = last_hit.get(hosts[i], -1e18) + interval \
                         - time.monotonic()
                     if wait > 0:
                         time.sleep(wait)
                     last_hit[hosts[i]] = time.monotonic()
+                t_req = time.monotonic()
                 status, html, final = fetch_url(urls[i], timeout, user_agent)
+                if adaptive_throttle:
+                    # Scrapy AutoThrottle adjustment: move halfway toward
+                    # latency/target-concurrency; errors never speed up
+                    latency = time.monotonic() - t_req
+                    cur = delays[hosts[i]]
+                    target = latency / throttle_target_concurrency
+                    new = (cur + target) / 2.0
+                    if status is None or int(status) >= 400:
+                        new = max(new, cur)
+                    delays[hosts[i]] = min(
+                        max(new, host_min_interval), throttle_max_delay
+                    )
                 if renderer is not None and html is not None:
                     html = renderer(final, html)
                 results[i] = (status, html, final)

@@ -31,13 +31,20 @@ PAGES = {
     "/robots.txt": (
         200,
         "# test rules\nUser-agent: other-bot\nDisallow: /\n\n"
-        "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n",
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok$\n"
+        "Disallow: /*.bin$\nCrawl-delay: 2\n",
     ),
     "/r/start": (
         200,
         "<html><head><title>RStart</title></head><body><main>"
         '<h1>R</h1><p>start</p><a href="/r/a">a</a>'
-        '<a href="/private/p">p</a></main></body></html>',
+        '<a href="/private/p">p</a><a href="/private/ok">ok</a>'
+        '<a href="/r/c.bin">bin</a></main></body></html>',
+    ),
+    "/private/ok": (
+        200,
+        "<html><head><title>Ok</title></head><body><main>"
+        "<h1>Ok</h1><p>allow override</p></main></body></html>",
     ),
     "/r/a": (
         200,
@@ -72,6 +79,18 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         type(self).request_log.append((time.monotonic(), self.path))
+        if self.path.startswith("/slow/"):
+            time.sleep(0.3)
+            data = (
+                "<html><head><title>Slow</title></head><body><main>"
+                "<h1>Slow</h1><p>takes a while</p></main></body></html>"
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return
         if self.path in REDIRECTS:
             self.send_response(302)
             self.send_header("Location", REDIRECTS[self.path])
@@ -243,22 +262,36 @@ def test_parse_robots_txt_groups_and_delay():
 
     body = PAGES["/robots.txt"][1]
     got = parse_robots_txt(body, "louis-crawler-legacy-spark/0.3")
-    assert got == {"disallow_prefixes": ["/private/"], "crawl_delay": 2.0}
+    assert got["disallow_prefixes"] == ["/private/", "/*.bin$"]
+    assert got["crawl_delay"] == 2.0
+    assert [(r["allow"], r["pattern"]) for r in got["rules"]] == [
+        (False, "/private/"), (True, "/private/ok$"), (False, "/*.bin$"),
+    ]
     # the more specific group wins for its agent
     other = parse_robots_txt(body, "other-bot/1.0")
     assert other["disallow_prefixes"] == ["/"]
     # missing/unfetchable file → allow-all
-    assert parse_robots_txt(None) == {
-        "disallow_prefixes": [], "crawl_delay": None,
-    }
+    none = parse_robots_txt(None)
+    assert none["rules"] == [] and none["crawl_delay"] is None
     # empty Disallow lines contribute nothing; comments stripped
     assert parse_robots_txt(
         "User-agent: *\nDisallow:\nDisallow: /x # inline\n"
     )["disallow_prefixes"] == ["/x"]
     # rules before any User-agent line are ignored; bad delay ignored
-    assert parse_robots_txt(
+    orphan = parse_robots_txt(
         "Disallow: /orphan\nUser-agent: *\nCrawl-delay: soon\nDisallow: /y\n"
-    ) == {"disallow_prefixes": ["/y"], "crawl_delay": None}
+    )
+    assert orphan["disallow_prefixes"] == ["/y"]
+    assert orphan["crawl_delay"] is None
+    # RFC 9309: Allow overrides and wildcards/anchors become ordered rules
+    rfc = parse_robots_txt(
+        "User-agent: *\nDisallow: /\nAllow: /public/\n"
+        "Disallow: /public/*.pdf$\n"
+    )
+    assert [(r["allow"], r["pattern"]) for r in rfc["rules"]] == [
+        (False, "/"), (True, "/public/"), (False, "/public/*.pdf$"),
+    ]
+    assert rfc["rules"][2]["rx"] == "^/public/.*\\.pdf$"
 
 
 def test_fetch_robots_blocks_batch_and_candidates(spark, server, tmp_path):
@@ -280,20 +313,33 @@ def test_fetch_robots_blocks_batch_and_candidates(spark, server, tmp_path):
     paths = [p for _, p in _Handler.request_log]
     assert paths.count("/robots.txt") == 1  # fetched once per host, ever
     assert "/private/p" not in paths  # seeded but disallowed → never fetched
+    assert "/r/c.bin" not in paths  # '/*.bin$' wildcard-anchored disallow
 
     pages = {r.url for r in eng.pages.read().collect()}
-    assert pages == {f"{server}/r/start", f"{server}/r/a"}
+    # /private/ok IS crawled: 'Allow: /private/ok$' out-lengths
+    # 'Disallow: /private/' (RFC 9309 longest-match; Allow override)
+    assert pages == {
+        f"{server}/r/start", f"{server}/r/a", f"{server}/private/ok",
+    }
 
     seen = {r.url: r.status for r in eng.seen.read().collect()}
     assert seen[f"{server}/private/p"] == "robots_blocked"
-    # the disallowed CANDIDATE (/private/p as a child link) was filtered
-    # before entering the frontier: its only seen row is the blocked seed
+    # the disallowed CANDIDATES (/private/p, /r/c.bin as child links) were
+    # filtered before entering the frontier — no seen row beyond the
+    # blocked seed, and none at all for the .bin link
+    assert f"{server}/r/c.bin" not in seen
     assert seen[f"{server}/r/start"] == "scraped"
     assert all(u in seen for u in pages)
+    # intentional blocks are NOT failures: the blocked seed counts in
+    # n_robots_blocked, not n_errored
+    assert sum(s.n_robots_blocked for s in stats) == 1
+    assert sum(s.n_errored for s in stats) == 0
 
     rules = {r.host: r for r in eng.robots_table.read().collect()}
     host = f"{server}".split("/")[2]
-    assert list(rules[host].disallow_prefixes) == ["/private/"]
+    assert [(r.allow, r.pattern) for r in rules[host].rules] == [
+        (False, "/private/"), (True, "/private/ok$"), (False, "/*.bin$"),
+    ]
     assert rules[host].crawl_delay == 2.0
 
     # re-seeding the blocked url refetches nothing (it is seen)
@@ -328,3 +374,55 @@ def test_two_round_http_crawl(spark, server, tmp_path):
     seen = {r.url: r.status for r in eng.seen.read().collect()}
     assert seen[f"{server}/page/2"] == "errored"
     assert not any("/trap" in u for u in seen)
+
+
+def test_adaptive_throttle_backs_off_slow_host(spark, server):
+    """AutoThrottle analog (reference settings.py:71-78): with
+    adaptive_throttle on, a slow host's request interval climbs from
+    throttle_start_delay toward latency/target-concurrency instead of
+    hammering at a static rate — observed request gaps on the live server
+    must back off, while fetch RESULTS stay identical."""
+    _Handler.request_log.clear()
+    host = f"{server}".split("/")[2]
+    df = spark.createDataFrame(
+        [(f"{server}/slow/{i}", host) for i in range(5)], ["url", "host"]
+    ).coalesce(1)
+    out = http_fetch(
+        df, timeout=5.0, adaptive_throttle=True,
+        throttle_start_delay=0.01, throttle_max_delay=2.0,
+        throttle_target_concurrency=0.4,
+    ).collect()
+    # results unchanged by throttling
+    assert sorted(r.url for r in out) == [f"{server}/slow/{i}" for i in range(5)]
+    assert all(r.status == 200 and "Slow" in r.html for r in out)
+    ts = [t for t, p in _Handler.request_log if p.startswith("/slow/")]
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    # latency ~0.3s, target 0.3/0.4=0.75s: intervals converge upward
+    # (≈0.38, 0.57, 0.66, 0.70) — strictly beyond the pure-latency gap
+    assert gaps[-1] > gaps[0] + 0.15, f"no backoff: {gaps}"
+    assert gaps[-1] > 0.45, f"final interval never exceeded latency: {gaps}"
+
+
+def test_adaptive_throttle_crawl_results_unchanged(spark, server, tmp_path):
+    """Engine-level: an adaptive-throttle crawl produces exactly the same
+    pages/seen as the static-pacing crawl (throttling changes timing
+    only)."""
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(
+        max_depth=1, batch_size=8, num_partitions=2, bloom_capacity=1_000,
+        fetcher="http", fetch_timeout=5.0,
+        adaptive_throttle=True, throttle_start_delay=0.01,
+        throttle_max_delay=0.5,
+    )
+    eng = CrawlEngine(spark, corpus=None, warehouse_dir=str(tmp_path / "wh"),
+                      config=cfg)
+    stats = eng.run(seeds=[f"{server}/page/0"])
+    assert [s.batch_urls for s in stats] == [
+        [f"{server}/page/0"],
+        [f"{server}/page/1", f"{server}/page/2"],
+    ]
+    pages = {r.url for r in eng.pages.read().collect()}
+    assert pages == {f"{server}/page/0", f"{server}/page/1"}
+    seen = {r.url: r.status for r in eng.seen.read().collect()}
+    assert seen[f"{server}/page/2"] == "errored"

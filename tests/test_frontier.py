@@ -109,6 +109,37 @@ def test_robots_filtering(spark, tmp_path):
     )
 
 
+def test_robots_rfc_rules_engine_matches_simulator(spark, tmp_path):
+    """RFC 9309 evaluation (Allow overrides, '*' wildcards, '$' anchors,
+    longest-match-wins) — the native Spark filter and the simulator's
+    pure-Python twin must agree crawl-for-crawl: Disallow:/ + Allow
+    carve-outs on hub0, a wildcard-anchored disallow on site1."""
+    robots = {
+        "hub0.ca": [
+            (False, "/"),             # block the whole host...
+            (True, "/page/"),         # ...except /page/*
+            (False, "/page/1*"),      # but not /page/1, /page/1x
+            (True, "/page/12$"),      # except exactly /page/12
+        ],
+        "site1.ca": [(False, "/*/page/*")],  # blocks /fr/page/*
+    }
+    sim = simulate_crawl(CDICT, SEEDS, max_depth=3, batch_size=9, robots=robots)
+    eng, stats = run_engine(
+        spark, tmp_path, max_depth=3, batch_size=9, robots=robots
+    )
+    assert_equivalent(eng, stats, sim)
+    fetched = {u for s in stats for u in s.batch_urls} - set(SEEDS)
+    blocked = [u for u in fetched if u.startswith("http://hub0.ca/")
+               and not u.startswith("http://hub0.ca/page/")]
+    assert blocked == []  # Disallow:/ held outside the carve-out
+    assert "http://hub0.ca/fr/page/0" not in fetched
+    assert not any(
+        u.startswith("http://hub0.ca/page/1") and u != "http://hub0.ca/page/12"
+        for u in fetched
+    )
+    assert "http://site1.ca/fr/page/0" not in fetched
+
+
 def test_checkpoint_resume_identity(spark, tmp_path):
     kwargs = dict(max_depth=2, batch_size=10)
     sim = simulate_crawl(CDICT, SEEDS, **kwargs)
@@ -316,4 +347,50 @@ def test_broadcast_batch_knob_equivalent(spark, tmp_path):
     assert [s.batch_urls for s in sa] == [s.batch_urls for s in sb]
     assert sorted(r.url for r in a.pages.read().collect()) == sorted(
         r.url for r in b.pages.read().collect()
+    )
+
+
+def test_long_run_soak_flat_wall_and_partitions(spark, tmp_path):
+    """Soak guard (r03 VERDICT #6): 40+ rounds on a small corpus — the
+    class of test that catches O(rounds) leaks. Two flatness checks:
+    (a) seen/frontier partition counts are CONSTANT from round 2 onward
+    (the r03-measured leak grew them ~2×corpus_parts/round, so by round
+    40 the round plan would schedule thousands of state tasks), and
+    (b) late-round wall time stays within noise of early rounds (an
+    O(rounds) per-round cost would show a clear upward trend by round
+    40+)."""
+    import statistics
+
+    corpus = corpus_mod.generate_corpus(
+        seed=3, n_hosts=4, pages_per_host=60, hub_factor=3, links_per_page=6
+    )
+    cfg = CrawlConfig(
+        max_depth=30, batch_size=4, num_partitions=4, checkpoint_every=0,
+        detailed_metrics=False, collect_batch_urls=False, bloom_capacity=512,
+    )
+    eng = CrawlEngine(
+        spark, corpus_mod.corpus_df(spark, corpus), str(tmp_path / "wh"), cfg
+    )
+    eng.bootstrap(corpus_mod.seed_urls(corpus, n=2))
+    walls, seen_parts, frontier_parts = [], [], []
+    r = 1
+    while r <= 48:
+        s = eng.run_round(r)
+        if s is None:
+            break
+        walls.append(s.wall_sec)
+        seen_parts.append(eng._seen().rdd.getNumPartitions())
+        frontier_parts.append(eng._frontier_df.rdd.getNumPartitions())
+        r += 1
+    eng.checkpoint(r - 1, wait=True)
+    assert len(walls) >= 40, f"corpus exhausted after {len(walls)} rounds"
+    assert len(set(seen_parts[1:])) == 1, f"seen partitions grew: {seen_parts}"
+    assert len(set(frontier_parts[1:])) == 1, (
+        f"frontier partitions grew: {frontier_parts}"
+    )
+    early = statistics.median(walls[4:12])
+    late = statistics.median(walls[-8:])
+    assert late < 2.5 * early, (
+        f"per-round wall trending up: early median {early:.2f}s, "
+        f"late median {late:.2f}s, walls={['%.2f' % w for w in walls]}"
     )

@@ -393,6 +393,18 @@ class CrawlEngine:
         self._seen_fut: tuple | None = None  # (future, input_df_to_release)
         self._blooms_fut: tuple | None = None
 
+    def _bg_run(self, fn, *args, **kwargs):
+        """Run ``fn`` with the calling worker thread tagged into the
+        low-share FAIR pool (session.py): background jobs (state merges,
+        output appends, checkpoint writes) yield task slots to the next
+        round's critical path instead of holding FIFO priority over it.
+        The local property is per-thread sticky (pinned thread mode);
+        setting it per call is idempotent and cheap."""
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "background"
+        )
+        return fn(*args, **kwargs)
+
     # -- state management --------------------------------------------------------
     def _resolve(self, fut_attr: str, df_attr: str) -> None:
         """Resolve a pending state merge: wait OUTSIDE the lock (the merge
@@ -556,7 +568,7 @@ class CrawlEngine:
             self._pending_metrics = []
             self._dirty = False
             self._ckpt_future = self._ckpt_pool.submit(
-                self._write_checkpoint, round_no, state
+                self._bg_run, self._write_checkpoint, round_no, state
             )
         if wait:
             self._join_checkpoint()
@@ -862,7 +874,8 @@ class CrawlEngine:
         out_futures = []
         if cfg.unique_fetch:
             out_futures.append(out_pool.submit(
-                self.pages.append, page_rows, {"round": round_no}))
+                self._bg_run, self.pages.append, page_rows,
+                {"round": round_no}))
         else:
             self.pages.upsert(page_rows, key="url", meta={"round": round_no})
 
@@ -886,7 +899,8 @@ class CrawlEngine:
             # src fetched once ⇒ (src,dst) can never repeat across rounds;
             # within-round dedup above suffices (J6 insert-if-absent holds)
             out_futures.append(out_pool.submit(
-                self.links.append, edges, {"round": round_no}))
+                self._bg_run, self.links.append, edges,
+                {"round": round_no}))
         else:
             new_edges = edges.join(
                 self.links.read(), ["source_url", "destination_url"], "left_anti"
@@ -905,7 +919,8 @@ class CrawlEngine:
                 )
             )
             out_futures.append(out_pool.submit(
-                self.documents.append, spans_df, {"round": round_no}))
+                self._bg_run, self.documents.append, spans_df,
+                {"round": round_no}))
         _mark("spans_write")
         # U1: seen ∪ batch (both outcomes) — BEFORE candidate filtering,
         # matching the reference's file-update order (:839-849)
@@ -996,11 +1011,13 @@ class CrawlEngine:
         # UnknownPartitioning in the LogicalRDD — verified on this Spark —
         # so the shuffle would buy nothing and cost O(seen) per round.)
         seen_fut = self._state_pool.submit(
+            self._bg_run,
             lambda: self._seen().unionByName(seen_add)
             .coalesce(self._state_parts)
             .localCheckpoint()
         )
         blooms_fut = self._state_pool.submit(
+            self._bg_run,
             lambda: self.pb.merge_blobs(
                 self._blooms(), add_hashes
             ).localCheckpoint()

@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,17 @@ class SnapshotTable:
         self.name = name
         self.path = os.path.join(warehouse, name)
         self.schema = schema
+        # serializes same-table snapshot commits: the crawl engine runs
+        # output appends as background jobs that DRAIN ACROSS ROUNDS, so
+        # round k's and round k+1's append to one table can execute
+        # concurrently — without the lock both would allocate the same
+        # version (manifest read → v+1 → os.replace collision / manifest
+        # lost-update; surfaced by the round-4 FAIR pool, which delays
+        # background jobs enough to overlap them). RLock because upsert's
+        # read-modify-write spans an inner overwrite. Writes to DIFFERENT
+        # tables still overlap freely. (On a real cluster this is the
+        # table format's job — Iceberg commits via optimistic retry.)
+        self._write_lock = threading.RLock()
         os.makedirs(self.path, exist_ok=True)
 
     # -- manifest ------------------------------------------------------------
@@ -91,6 +103,11 @@ class SnapshotTable:
 
     # -- writes ---------------------------------------------------------------
     def _write_snapshot(self, df: DataFrame, op: str, meta: dict | None) -> int:
+        with self._write_lock:
+            return self._write_snapshot_locked(df, op, meta)
+
+    def _write_snapshot_locked(self, df: DataFrame, op: str,
+                               meta: dict | None) -> int:
         manifest = self._load_manifest()
         new_v = manifest["current"] + 1
         staging = os.path.join(self.path, f"_staging_v{new_v}")
@@ -125,19 +142,26 @@ class SnapshotTable:
         """MERGE-by-key (reference S7: INSERT … ON CONFLICT (url) DO UPDATE,
         db.py:494-528). Copy-on-write here; Iceberg MERGE INTO on a real
         cluster."""
-        current = self.read()
-        kept = current.join(df.select(key), on=key, how="left_anti")
-        return self.overwrite(kept.unionByName(df), meta)
+        with self._write_lock:  # read-modify-write must be atomic
+            current = self.read()
+            kept = current.join(df.select(key), on=key, how="left_anti")
+            return self.overwrite(kept.unionByName(df), meta)
 
     def rollback_to(self, version: int) -> None:
         """Resume-from-round support: make ``version`` current again by
         truncating history (later snapshot dirs are retained on disk but
         unpublished)."""
-        manifest = self._load_manifest()
-        assert any(v["v"] == version for v in manifest["versions"]) or version == 0
-        manifest["versions"] = [v for v in manifest["versions"] if v["v"] <= version]
-        manifest["current"] = version
-        self._commit_manifest(manifest)
+        with self._write_lock:
+            manifest = self._load_manifest()
+            assert (
+                any(v["v"] == version for v in manifest["versions"])
+                or version == 0
+            )
+            manifest["versions"] = [
+                v for v in manifest["versions"] if v["v"] <= version
+            ]
+            manifest["current"] = version
+            self._commit_manifest(manifest)
 
 
 class Warehouse:

@@ -41,3 +41,26 @@ def test_upsert_by_key(spark, tmp_path):
     t.upsert(spark.createDataFrame([("b", 5), ("c", 1)], SCHEMA), key="url")
     got = {r.url: r.depth for r in t.read().collect()}
     assert got == {"a": 0, "b": 5, "c": 1}
+
+
+def test_concurrent_same_table_appends_allocate_distinct_versions(
+    spark, tmp_path
+):
+    """The crawl engine's output appends drain across round boundaries, so
+    two appends to ONE table can execute concurrently (the round-4 FAIR
+    background pool made this overlap routine). Version allocation must be
+    atomic: without the per-table write lock, both writers read the same
+    manifest, pick the same v, and collide on os.replace (or lose a
+    manifest update)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    wh = Warehouse(spark, str(tmp_path / "whc"))
+    t = wh.table("races", SCHEMA)
+    dfs = [
+        spark.createDataFrame([(f"u{i}", i)], SCHEMA) for i in range(6)
+    ]
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        versions = list(ex.map(lambda d: t.append(d), dfs))
+    assert sorted(versions) == [1, 2, 3, 4, 5, 6]
+    assert t.read().count() == 6
+    assert [v["v"] for v in t.history()] == [1, 2, 3, 4, 5, 6]

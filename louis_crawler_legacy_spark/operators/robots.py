@@ -40,9 +40,11 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
     budget helpers and older tests; the ordered ``rules`` list (with
     Allow entries) is what the filters evaluate."""
     if not text:
-        return {"rules": [], "crawl_delay": None, "disallow_prefixes": []}
+        return {"rules": [], "crawl_delay": None, "disallow_prefixes": [],
+                "sitemaps": []}
     ua = agent.lower()
     groups: list[dict] = []
+    sitemaps: list[str] = []
     cur: dict | None = None
     last_was_agent = False
     for raw in text.splitlines():
@@ -60,6 +62,12 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
             last_was_agent = True
             continue
         last_was_agent = False
+        if key == "sitemap" and value:
+            # RFC 9309 §2.2.4: not group-scoped — valid anywhere, collected
+            # for every agent (crawl seeding hook; stored in the warehouse
+            # robots table)
+            sitemaps.append(value)
+            continue
         if cur is None:
             continue  # rules before any User-agent line: ignored (RFC)
         if key in ("disallow", "allow") and value:
@@ -83,12 +91,14 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
             ):
                 best, best_len = g, len(group_agent)
     if best is None:
-        return {"rules": [], "crawl_delay": None, "disallow_prefixes": []}
+        return {"rules": [], "crawl_delay": None, "disallow_prefixes": [],
+                "sitemaps": sitemaps}
     rules = normalize_rules(best["rules"])
     return {
         "rules": rules,
         "crawl_delay": best["delay"],
         "disallow_prefixes": [r["pattern"] for r in rules if not r["allow"]],
+        "sitemaps": sitemaps,
     }
 
 

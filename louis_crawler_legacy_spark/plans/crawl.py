@@ -117,6 +117,9 @@ ROBOTS_TABLE_SCHEMA = T.StructType(
         T.StructField("host", T.StringType()),
         T.StructField("rules", _rules_type()),
         T.StructField("crawl_delay", T.DoubleType()),
+        # RFC 9309 §2.2.4 Sitemap: lines (not group-scoped) — the crawl
+        # seeding hook; consumers read them off the warehouse robots table
+        T.StructField("sitemaps", T.ArrayType(T.StringType())),
         T.StructField("fetched_round", T.IntegerType()),
     ]
 )
@@ -690,13 +693,34 @@ class CrawlEngine:
             fetched = http_fetch(robots_req, timeout=self.config.fetch_timeout)
 
             def parse(batches):
+                from louis_crawler_legacy_spark.operators.politeness import (
+                    normalize_rules,
+                )
+
+                # RFC 9309 §2.3.1 status handling: 2xx/3xx → parse the
+                # body; 400-499 (unavailable) → allow-all; 500-599
+                # (unreachable) → COMPLETE DISALLOW (MUST, §2.3.1.4).
+                # Transport errors (no status) → allow-all — a documented
+                # divergence from the RFC's unreachable rule: rules are
+                # fetched once per host ever, so one flaky connection must
+                # not permanently block a host.
+                def row_for(s, h):
+                    if s is not None and not pd.isna(s):
+                        s = int(s)
+                        if 500 <= s < 600:
+                            return {
+                                "rules": normalize_rules(["/"]),
+                                "crawl_delay": None, "sitemaps": [],
+                            }
+                        if s < 400:
+                            return parse_robots_txt(h, USER_AGENT)
+                    return parse_robots_txt(None, USER_AGENT)
+
                 for pdf in batches:
-                    bodies = [
-                        h if (s is not None and not pd.isna(s) and int(s) < 400)
-                        else None
+                    rows = [
+                        row_for(s, h)
                         for s, h in zip(pdf["status"], pdf["html"])
                     ]
-                    rows = [parse_robots_txt(b, USER_AGENT) for b in bodies]
                     yield pd.DataFrame(
                         {
                             "host": pdf["host"],
@@ -706,6 +730,7 @@ class CrawlEngine:
                                 if r["crawl_delay"] is not None else None
                                 for r in rows
                             ],
+                            "sitemaps": [r["sitemaps"] for r in rows],
                             "fetched_round": round_no,
                         }
                     )

@@ -30,7 +30,8 @@ PAGES = {
     "/page/2": (500, "<html><body>boom</body></html>"),
     "/robots.txt": (
         200,
-        "# test rules\nUser-agent: other-bot\nDisallow: /\n\n"
+        "# test rules\nSitemap: https://example.ca/sitemap.xml\n"
+        "User-agent: other-bot\nDisallow: /\n\n"
         "User-agent: *\nDisallow: /private/\nAllow: /private/ok$\n"
         "Disallow: /*.bin$\nCrawl-delay: 2\n",
     ),
@@ -341,6 +342,9 @@ def test_fetch_robots_blocks_batch_and_candidates(spark, server, tmp_path):
         (False, "/private/"), (True, "/private/ok$"), (False, "/*.bin$"),
     ]
     assert rules[host].crawl_delay == 2.0
+    # Sitemap: lines land in the warehouse table (RFC 9309 §2.2.4 —
+    # not group-scoped), the crawl-seeding hook
+    assert list(rules[host].sitemaps) == ["https://example.ca/sitemap.xml"]
 
     # re-seeding the blocked url refetches nothing (it is seen)
     _Handler.request_log.clear()
@@ -426,3 +430,65 @@ def test_adaptive_throttle_crawl_results_unchanged(spark, server, tmp_path):
     assert pages == {f"{server}/page/0", f"{server}/page/1"}
     seen = {r.url: r.status for r in eng.seen.read().collect()}
     assert seen[f"{server}/page/2"] == "errored"
+
+
+def test_parse_robots_sitemaps_collected():
+    from louis_crawler_legacy_spark.operators.robots import parse_robots_txt
+
+    got = parse_robots_txt(
+        "Sitemap: https://x.ca/a.xml\n"          # before any group: kept
+        "User-agent: *\nDisallow: /p\n"
+        "Sitemap: https://x.ca/b.xml\n"          # inside a group: kept,
+        "Disallow: /q\n",                        # and does NOT end the group
+        "any-bot",
+    )
+    assert got["sitemaps"] == ["https://x.ca/a.xml", "https://x.ca/b.xml"]
+    assert got["disallow_prefixes"] == ["/p", "/q"]
+
+
+def test_robots_5xx_means_complete_disallow(spark, tmp_path):
+    """RFC 9309 §2.3.1.4: a 500-599 robots.txt response means the crawler
+    MUST assume complete disallow — every batch url for that host is
+    robots_blocked, nothing but /robots.txt is ever requested. (4xx and
+    transport errors stay allow-all: §2.3.1.3 / documented divergence.)"""
+    import threading as _threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    log: list[str] = []
+
+    class Srv(BaseHTTPRequestHandler):
+        def do_GET(self):
+            log.append(self.path)
+            status = 500 if self.path == "/robots.txt" else 200
+            body = b"<html><head><title>X</title></head><body><main><p>x</p></main></body></html>"
+            self.send_response(status)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if status == 200:
+                self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Srv)
+    _threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        cfg = CrawlConfig(
+            max_depth=1, batch_size=8, num_partitions=2, bloom_capacity=1_000,
+            fetcher="http", fetch_timeout=5.0, fetch_robots=True,
+        )
+        eng = CrawlEngine(spark, corpus=None,
+                          warehouse_dir=str(tmp_path / "wh"), config=cfg)
+        stats = eng.run(seeds=[f"{base}/a", f"{base}/b"])
+        assert log == ["/robots.txt"]  # nothing else was ever requested
+        assert eng.pages.read().count() == 0
+        seen = {r.url: r.status for r in eng.seen.read().collect()}
+        assert seen == {f"{base}/a": "robots_blocked",
+                        f"{base}/b": "robots_blocked"}
+        assert sum(s.n_robots_blocked for s in stats) == 2
+        assert sum(s.n_errored for s in stats) == 0
+    finally:
+        srv.shutdown()

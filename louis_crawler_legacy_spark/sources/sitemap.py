@@ -1,0 +1,145 @@
+"""Sitemap-based seed discovery (sitemaps.org protocol; the crawl-seeding
+companion to the RFC 9309 ``Sitemap:`` lines the robots parser captures).
+
+The reference crawler seeds from a hand-written URL list (run.sh) — a real
+deployment seeds from the site's own sitemaps. This module turns the
+warehouse robots table (host, …, sitemaps) produced by
+``CrawlConfig(fetch_robots=True)`` — or any (url) DataFrame of sitemap
+locations — into a DataFrame of page URLs ready for
+``CrawlEngine.run(seeds=...)``:
+
+    sitemap_urls ──http_fetch──▶ xml ──parse (mapInPandas)──▶ locs
+         └── <sitemapindex> entries recurse (bounded depth) ──┘
+
+Scale shape: fetching and parsing happen inside mapInPandas tasks (the
+same fetcher the crawl rounds use — timeouts, UA); only the bounded
+recursion loop runs on the driver, moving sitemap-INDEX urls (one per
+child sitemap), never page URLs. Parsing is stdlib ``xml.etree`` with
+namespace-agnostic localname matching (sitemaps in the wild mix the
+2005-09 namespace, no namespace, and stray prefixes); malformed XML
+yields zero locs rather than failing the job (PERMISSIVE, like the
+metadata scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOC_SCHEMA = T.StructType(
+    [
+        T.StructField("loc", T.StringType()),
+        T.StructField("kind", T.StringType()),  # "page" | "sitemap"
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def parse_sitemap(xml_text: str | None) -> tuple[list[str], list[str]]:
+    """→ (page_urls, nested_sitemap_urls). Namespace-agnostic: matches on
+    element localnames (urlset/url/loc vs sitemapindex/sitemap/loc).
+    Malformed or empty input → ([], [])."""
+    if not xml_text:
+        return [], []
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return [], []
+    is_index = local(root.tag) == "sitemapindex"
+    pages: list[str] = []
+    nested: list[str] = []
+    for entry in root:
+        if local(entry.tag) not in ("url", "sitemap"):
+            continue
+        for child in entry:
+            if local(child.tag) == "loc" and child.text and child.text.strip():
+                loc = child.text.strip()
+                if is_index or local(entry.tag) == "sitemap":
+                    nested.append(loc)
+                else:
+                    pages.append(loc)
+    return pages, nested
+
+
+def _fetch_and_parse(sitemap_df: DataFrame, timeout: float) -> DataFrame:
+    """(url) → (loc, kind, source) via the crawl fetcher + stdlib XML."""
+    import pandas as pd
+
+    from louis_crawler_legacy_spark.sources.fetcher import http_fetch
+
+    fetched = http_fetch(sitemap_df.select("url"), timeout=timeout)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for url, status, body in zip(
+                pdf["url"], pdf["status"], pdf["html"]
+            ):
+                ok = status is not None and not pd.isna(status) \
+                    and int(status) < 400
+                pages, nested = parse_sitemap(body if ok else None)
+                rows.extend((p, "page", url) for p in pages)
+                rows.extend((n, "sitemap", url) for n in nested)
+            yield pd.DataFrame(rows, columns=["loc", "kind", "source"])
+
+    return fetched.mapInPandas(gen, schema=_LOC_SCHEMA)
+
+
+def sitemap_seeds(
+    robots_table: DataFrame,
+    timeout: float = 30.0,
+    max_index_depth: int = 2,
+) -> DataFrame:
+    """Warehouse robots table (host, …, sitemaps array<string>) → distinct
+    page-URL seeds from every advertised sitemap, following
+    ``<sitemapindex>`` hops up to ``max_index_depth`` levels. Returns a
+    one-column (url) DataFrame — feed ``.collect()`` into
+    ``CrawlEngine.run(seeds=...)`` (seeds are driver-side by contract)."""
+    frontier = (
+        robots_table.select(F.explode("sitemaps").alias("url")).distinct()
+    )
+    return sitemap_seeds_from_urls(frontier, timeout, max_index_depth)
+
+
+def sitemap_seeds_from_urls(
+    sitemap_df: DataFrame,
+    timeout: float = 30.0,
+    max_index_depth: int = 2,
+) -> DataFrame:
+    """Same, from an explicit (url) DataFrame of sitemap locations."""
+    spark = sitemap_df.sparkSession
+    pages = None
+    frontier = sitemap_df.select("url").distinct()
+    seen_maps = frontier  # never refetch a sitemap url (index cycles)
+    for _ in range(max_index_depth):
+        if frontier.isEmpty():
+            break
+        parsed = _fetch_and_parse(frontier, timeout).cache()
+        # localCheckpoint BOTH outputs before releasing the fetch cache:
+        # the returned lazy df must never re-trigger the network fetch on
+        # a later action
+        level_pages = parsed.filter(F.col("kind") == "page").select(
+            F.col("loc").alias("url")
+        ).localCheckpoint()
+        pages = (
+            level_pages if pages is None else pages.unionByName(level_pages)
+        )
+        frontier = (
+            parsed.filter(F.col("kind") == "sitemap")
+            .select(F.col("loc").alias("url"))
+            .distinct()
+            .join(seen_maps, "url", "left_anti")
+        ).localCheckpoint()
+        seen_maps = seen_maps.unionByName(frontier).localCheckpoint()
+        parsed.unpersist()
+    if pages is None:
+        return spark.createDataFrame([], T.StructType(
+            [T.StructField("url", T.StringType())]
+        ))
+    return pages.distinct()

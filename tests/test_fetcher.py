@@ -492,3 +492,85 @@ def test_robots_5xx_means_complete_disallow(spark, tmp_path):
         assert sum(s.n_errored for s in stats) == 0
     finally:
         srv.shutdown()
+
+
+SITEMAPS = {
+    "/sitemap_index.xml": (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>{base}/sitemap1.xml</loc></sitemap>"
+        "<sitemap><loc>{base}/sitemap2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    ),
+    "/sitemap1.xml": (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>{base}/page/0</loc><lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>{base}/page/1</loc></url>"
+        "</urlset>"
+    ),
+    "/sitemap2.xml": (  # no namespace + a nested index hop back (cycle)
+        "<urlset>"
+        "<url><loc>{base}/canonical</loc></url>"
+        "</urlset>"
+    ),
+}
+
+
+def test_sitemap_parse_unit():
+    from louis_crawler_legacy_spark.sources.sitemap import parse_sitemap
+
+    pages, nested = parse_sitemap(SITEMAPS["/sitemap1.xml"].format(base="http://x"))
+    assert pages == ["http://x/page/0", "http://x/page/1"] and nested == []
+    pages, nested = parse_sitemap(SITEMAPS["/sitemap_index.xml"].format(base="http://x"))
+    assert pages == [] and nested == [
+        "http://x/sitemap1.xml", "http://x/sitemap2.xml",
+    ]
+    assert parse_sitemap("not xml <<<") == ([], [])
+    assert parse_sitemap(None) == ([], [])
+
+
+def test_sitemap_seeds_live_index_recursion(spark, server):
+    """Seed discovery (sitemaps.org): a <sitemapindex> fans out to child
+    sitemaps (fetched through the same mapInPandas fetcher), their <loc>
+    page urls come back as distinct seeds, and a robots table's
+    `sitemaps` column feeds the same path."""
+    from louis_crawler_legacy_spark.sources.sitemap import (
+        sitemap_seeds,
+        sitemap_seeds_from_urls,
+    )
+
+    for path, tmpl in SITEMAPS.items():
+        PAGES[path] = (200, tmpl.format(base=server))
+    try:
+        got = sitemap_seeds_from_urls(
+            spark.createDataFrame(
+                [(f"{server}/sitemap_index.xml",)], ["url"]
+            ),
+            timeout=5.0,
+        )
+        urls = sorted(r.url for r in got.collect())
+        assert urls == sorted(
+            [f"{server}/page/0", f"{server}/page/1", f"{server}/canonical"]
+        )
+        # robots-table path: (host, rules, crawl_delay, sitemaps, round)
+        from louis_crawler_legacy_spark.plans.crawl import ROBOTS_TABLE_SCHEMA
+
+        robots_tbl = spark.createDataFrame(
+            [(server.split("/")[2], [], None,
+              [f"{server}/sitemap1.xml"], 1)],
+            ROBOTS_TABLE_SCHEMA,
+        )
+        urls2 = sorted(
+            r.url for r in sitemap_seeds(robots_tbl, timeout=5.0).collect()
+        )
+        assert urls2 == [f"{server}/page/0", f"{server}/page/1"]
+        # unreachable sitemap → zero seeds, no failure
+        none = sitemap_seeds_from_urls(
+            spark.createDataFrame([(f"{server}/no_sitemap.xml",)], ["url"]),
+            timeout=5.0,
+        )
+        assert none.count() == 0
+    finally:
+        for path in SITEMAPS:
+            PAGES.pop(path, None)

@@ -230,6 +230,15 @@ class CrawlConfig:
     # reference-equivalence configs run with both off, matching the
     # reference's ROBOTSTXT_OBEY = False).
     fetch_robots: bool = False
+    # robots cache validity in ROUNDS (None = fetch once per host, ever):
+    # with a TTL, a host whose rules were fetched more than ttl rounds ago
+    # is refetched when it reappears in a batch and its table row is
+    # MERGE-upserted — so rule changes propagate and a 5xx
+    # complete-disallow (RFC 9309 §2.3.1.4) heals once the server
+    # recovers. (Already-blocked urls stay in `seen`; expire_urls is the
+    # recrawl path for those.) The RFC's own cacheability guidance is
+    # 24 h (§2.4) — rounds are the engine's clock.
+    robots_ttl_rounds: int | None = None
     # broadcast the batch into the corpus scan (right while batches fit the
     # broadcast budget — the html column never shuffles). At 10^7-row
     # production batches the broadcast is GB-scale: set False to let
@@ -351,12 +360,14 @@ class CrawlEngine:
         self._state_parts = max(
             self.config.num_partitions, spark.sparkContext.defaultParallelism
         )
-        # hosts whose robots.txt is already in the warehouse robots table
-        # (fetch_robots mode) — lets a round with no new hosts skip the
-        # robots job entirely with ZERO Spark actions. Bounded by distinct
-        # hosts ever crawled (the reference keeps per-host AutoThrottle
-        # state driver-side the same way); invalidated on rollback.
-        self._robots_hosts: set[str] | None = None
+        # host → fetched_round for robots.txt rules already in the
+        # warehouse robots table (fetch_robots mode) — lets a round with
+        # no new/stale hosts skip the robots job entirely with ZERO Spark
+        # actions, and drives the robots_ttl_rounds refresh. Bounded by
+        # distinct hosts ever crawled (the reference keeps per-host
+        # AutoThrottle state driver-side the same way); invalidated on
+        # rollback.
+        self._robots_hosts: dict[str, int] | None = None
         self.robots_df = None
         if self.config.robots:
             from louis_crawler_legacy_spark.operators.robots import rules_df
@@ -667,24 +678,37 @@ class CrawlEngine:
             http_fetch,
         )
 
-        # driver-side known-host cache (bounded by distinct hosts ever
-        # crawled; seeded from the warehouse once, so resume still skips
-        # already-fetched hosts): a round whose batch hosts are all known
-        # costs ONE tiny job over the already-materialized batch — the old
-        # per-round anti-join + count against the robots table is gone.
-        # Only (host, scheme) pairs reach the driver, never URLs.
+        # driver-side known-host cache (host → fetched_round; bounded by
+        # distinct hosts ever crawled; seeded from the warehouse once, so
+        # resume still skips already-fetched hosts): a round whose batch
+        # hosts are all fresh costs ONE tiny job over the
+        # already-materialized batch — the old per-round anti-join + count
+        # against the robots table is gone. Only (host, scheme) pairs
+        # reach the driver, never URLs.
+        ttl = self.config.robots_ttl_rounds
         if self._robots_hosts is None:
-            self._robots_hosts = {
-                r.host
-                for r in self.robots_table.read().select("host").collect()
-            }
+            self._robots_hosts = {}
+            for r in (
+                self.robots_table.read()
+                .groupBy("host")
+                .agg(F.max("fetched_round").alias("fr"))
+                .collect()
+            ):
+                self._robots_hosts[r.host] = int(r.fr)
+
+        def stale(h: str) -> bool:
+            fr = self._robots_hosts.get(h)
+            if fr is None:
+                return True
+            return ttl is not None and fr <= round_no - ttl
+
         pairs = batch.groupBy("host").agg(
             F.min(F.regexp_extract("url", r"^(https?://)", 1)).alias("scheme")
         ).collect()
         new_pairs = [
             (p.scheme + p.host + "/robots.txt", p.host)
             for p in pairs
-            if p.host not in self._robots_hosts
+            if stale(p.host)
         ]
         if new_pairs:
             robots_req = self.spark.createDataFrame(
@@ -736,8 +760,21 @@ class CrawlEngine:
                     )
 
             rules = fetched.mapInPandas(parse, schema=ROBOTS_TABLE_SCHEMA)
-            self.robots_table.append(rules, {"round": round_no, "op": "robots"})
-            self._robots_hosts.update(h for _, h in new_pairs)
+            if ttl is not None:
+                # refreshes must REPLACE the host's old row — a duplicate
+                # host would multiply the batch join below. Materialize
+                # first: upsert's read-modify-write evaluates its input
+                # twice, and each evaluation of the raw plan would re-hit
+                # the network
+                rules = rules.localCheckpoint()
+                self.robots_table.upsert(
+                    rules, key="host", meta={"round": round_no, "op": "robots"}
+                )
+            else:
+                self.robots_table.append(
+                    rules, {"round": round_no, "op": "robots"}
+                )
+            self._robots_hosts.update({h: round_no for _, h in new_pairs})
         rules_all = self.robots_table.read()
         rb = F.broadcast(rules_all.select("host", "rules"))
         joined = batch.join(rb, "host", "left")

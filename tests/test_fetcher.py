@@ -574,3 +574,74 @@ def test_sitemap_seeds_live_index_recursion(spark, server):
     finally:
         for path in SITEMAPS:
             PAGES.pop(path, None)
+
+
+def test_robots_ttl_refetches_and_applies_new_rules(spark, tmp_path):
+    """robots_ttl_rounds: rules are cached per host for N rounds, then
+    refetched (MERGE-upserting the host's table row) — a rule change on
+    the server propagates after the TTL, and within the TTL no extra
+    robots request is made."""
+    import threading as _threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    state = {"robots": "User-agent: *\nDisallow: /flip/\n", "log": []}
+
+    class Srv(BaseHTTPRequestHandler):
+        def do_GET(self):
+            state["log"].append(self.path)
+            if self.path == "/robots.txt":
+                body = state["robots"].encode()
+            else:
+                body = (
+                    "<html><head><title>P</title></head><body><main>"
+                    "<p>page</p></main></body></html>"
+                ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Srv)
+    _threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        cfg = CrawlConfig(
+            max_depth=0, batch_size=8, num_partitions=2, bloom_capacity=1_000,
+            fetcher="http", fetch_timeout=5.0, fetch_robots=True,
+            robots_ttl_rounds=3,
+        )
+        eng = CrawlEngine(spark, corpus=None,
+                          warehouse_dir=str(tmp_path / "wh"), config=cfg)
+        # round 1: rules v1 block /flip/*
+        eng.run(seeds=[f"{base}/flip/x", f"{base}/ok1"], max_rounds=1)
+        assert state["log"].count("/robots.txt") == 1
+        seen = {r.url: r.status for r in eng.seen.read().collect()}
+        assert seen[f"{base}/flip/x"] == "robots_blocked"
+        assert seen[f"{base}/ok1"] == "scraped"
+
+        # server flips to allow-all, but round 2 is INSIDE the TTL:
+        # cached rules still apply, no new robots request
+        state["robots"] = "User-agent: *\nDisallow:\n"
+        eng.run(seeds=[f"{base}/flip/y"], max_rounds=1, start_round=2)
+        assert state["log"].count("/robots.txt") == 1
+        seen = {r.url: r.status for r in eng.seen.read().collect()}
+        assert seen[f"{base}/flip/y"] == "robots_blocked"
+
+        # round 5 is past the TTL (fetched_round 1 <= 5-3): refetch,
+        # upsert the host row, and the new allow-all rules apply
+        eng.run(seeds=[f"{base}/flip/z"], max_rounds=1, start_round=5)
+        assert state["log"].count("/robots.txt") == 2
+        seen = {r.url: r.status for r in eng.seen.read().collect()}
+        assert seen[f"{base}/flip/z"] == "scraped"
+        # exactly ONE row per host in the robots table (MERGE, not append)
+        host_rows = eng.robots_table.read().collect()
+        assert len(host_rows) == 1
+        assert host_rows[0].fetched_round == 5
+        assert host_rows[0].rules == []  # allow-all now
+    finally:
+        srv.shutdown()

@@ -40,6 +40,19 @@ def main() -> None:
     p.add_argument("--fetch-robots", action="store_true",
                    help="live robots.txt compliance: fetch+parse /robots.txt "
                         "per newly-seen host (http fetcher only)")
+    p.add_argument("--robots-ttl-rounds", type=int, default=None,
+                   help="refetch a host's robots.txt after N rounds "
+                        "(default: once per host, ever)")
+    p.add_argument("--host-min-interval", type=float, default=0.0,
+                   help="minimum seconds between same-host requests "
+                        "(http fetcher)")
+    p.add_argument("--adaptive-throttle", action="store_true",
+                   help="AutoThrottle-style per-host backoff from observed "
+                        "latency (http fetcher)")
+    p.add_argument("--seed-from-sitemaps", action="store_true",
+                   help="expand each --seeds line that is a sitemap URL "
+                        "(contains 'sitemap', .xml) into its page URLs "
+                        "before crawling (sources/sitemap.py)")
     p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--build-spans", action="store_true")
     p.add_argument("--max-rounds", type=int, default=10_000)
@@ -73,6 +86,9 @@ def main() -> None:
         fetcher=args.fetcher,
         fetch_timeout=args.fetch_timeout,
         fetch_robots=args.fetch_robots,
+        robots_ttl_rounds=args.robots_ttl_rounds,
+        host_min_interval=args.host_min_interval,
+        adaptive_throttle=args.adaptive_throttle,
     )
     if args.fetcher == "corpus" and not args.corpus:
         sys.exit("--corpus required unless --fetcher http")
@@ -86,6 +102,21 @@ def main() -> None:
             sys.exit("--seeds required unless --resume")
         with open(args.seeds) as f:
             seeds = [line.strip() for line in f if line.strip()]
+        if args.seed_from_sitemaps:
+            from louis_crawler_legacy_spark.sources.sitemap import (
+                sitemap_seeds_from_urls,
+            )
+
+            maps = [s for s in seeds
+                    if "sitemap" in s.lower() and s.lower().endswith(".xml")]
+            if maps:
+                expanded = sitemap_seeds_from_urls(
+                    spark.createDataFrame([(u,) for u in maps], ["url"]),
+                    timeout=args.fetch_timeout,
+                ).collect()
+                seeds = [s for s in seeds if s not in maps] + sorted(
+                    r.url for r in expanded
+                )
         stats = eng.run(seeds=seeds, max_rounds=args.max_rounds)
 
     total = sum(s.n_batch for s in stats)

@@ -404,8 +404,23 @@ class CrawlEngine:
         # k+1's merge chains on round k's via the lazy accessor.
         self._state_pool = ThreadPoolExecutor(max_workers=2)
         self._state_lock = threading.Lock()
-        self._seen_fut: tuple | None = None  # (future, input_df_to_release)
+        # pending merge: (future, covered_round)
+        self._seen_fut: tuple | None = None
         self._blooms_fut: tuple | None = None
+        # NON-BLOCKING state views (round 4): _seen_df/_blooms_df always
+        # hold the last MATERIALIZED base (covering rounds ≤ _*_through);
+        # _state_deltas holds each later round's seen-additions as a
+        # (round, df) plan over that round's still-cached inputs. The
+        # round pipeline probes base ∪ uncovered-deltas and NEVER waits
+        # for a merge — merges chain on each other explicitly in the
+        # background and install via the non-blocking _poll_state.
+        self._state_deltas: list[tuple[int, DataFrame]] = []
+        self._seen_through = 0
+        self._blooms_through = 0
+        # bases replaced by a newer merge result: released only when no
+        # background consumer (output appends, checkpoint writer) can
+        # still read their lineage-truncated blocks
+        self._retired_state: list[DataFrame] = []
 
     def _bg_run(self, fn, *args, **kwargs):
         """Run ``fn`` with the calling worker thread tagged into the
@@ -420,34 +435,95 @@ class CrawlEngine:
         return fn(*args, **kwargs)
 
     # -- state management --------------------------------------------------------
-    def _resolve(self, fut_attr: str, df_attr: str) -> None:
-        """Resolve a pending state merge: wait OUTSIDE the lock (the merge
-        task itself resolves the previous round's future through this same
-        path — holding the lock across result() would deadlock), then
-        first-resolver-wins bookkeeping: install the result, release the
-        merge's input DataFrame (any checkpoint that read it was joined
-        before the pending pair was installed)."""
+    def _install(self, fut_attr: str, df_attr: str, thr_attr: str,
+                 pending: tuple, df: DataFrame) -> None:
+        """First-installer-wins bookkeeping for a completed merge: swap in
+        the new base, record the round it covers, retire the old base
+        (released once no background consumer can still read it)."""
+        with self._state_lock:
+            if getattr(self, fut_attr) is not pending:
+                return
+            old = getattr(self, df_attr)
+            setattr(self, df_attr, df)
+            setattr(self, thr_attr, pending[1])
+            setattr(self, fut_attr, None)
+            if old is not None and old is not df:
+                self._retired_state.append(old)
+
+    def _resolve(self, fut_attr: str, df_attr: str, thr_attr: str) -> None:
+        """BLOCKING resolution (barrier paths only — run end, reload,
+        expire): wait OUTSIDE the lock, then install."""
         with self._state_lock:
             pending = getattr(self, fut_attr)
         if pending is None:
             return
-        df = pending[0].result()
-        with self._state_lock:
-            if getattr(self, fut_attr) is pending:
-                setattr(self, df_attr, df)
-                setattr(self, fut_attr, None)
-                if pending[1] is not None:
-                    pending[1].unpersist()
+        self._install(fut_attr, df_attr, thr_attr, pending, pending[0].result())
+
+    def _poll_state(self) -> None:
+        """Non-blocking: install any COMPLETED background merge as the new
+        base and prune the deltas it covers. Called at round start — the
+        round never waits for a merge; a lagging merge just means one more
+        small delta in the view."""
+        for fut_attr, df_attr, thr_attr in (
+            ("_seen_fut", "_seen_df", "_seen_through"),
+            ("_blooms_fut", "_blooms_df", "_blooms_through"),
+        ):
+            with self._state_lock:
+                pending = getattr(self, fut_attr)
+            if pending is not None and pending[0].done():
+                self._install(
+                    fut_attr, df_attr, thr_attr, pending, pending[0].result()
+                )
+        covered = min(self._seen_through, self._blooms_through)
+        self._state_deltas = [
+            (r, d) for r, d in self._state_deltas if r > covered
+        ]
 
     def _seen(self) -> DataFrame:
-        """Seen rows through the last completed round (resolving the
-        pending background merge if one is in flight)."""
-        self._resolve("_seen_fut", "_seen_df")
+        """Seen rows through the last merged round — BLOCKING on the
+        pending background merge. Barrier paths only; the round pipeline
+        uses _seen_view()."""
+        self._resolve("_seen_fut", "_seen_df", "_seen_through")
         return self._seen_df
 
     def _blooms(self) -> DataFrame:
-        self._resolve("_blooms_fut", "_blooms_df")
+        self._resolve("_blooms_fut", "_blooms_df", "_blooms_through")
         return self._blooms_df
+
+    def _seen_view(self) -> DataFrame:
+        """Exact seen rows through the last COMPLETED round, without
+        waiting: materialized base ∪ the uncovered per-round deltas (plans
+        over still-cached round inputs; normally ≤1 — merges usually
+        finish within the next round's fetch+extract)."""
+        view = self._seen_df
+        for r, d in self._state_deltas:
+            if r > self._seen_through:
+                view = view.unionByName(d)
+        return view
+
+    def _bloom_uncovered(self) -> list[DataFrame]:
+        """Url sets seen in rounds the materialized filter base does not
+        cover yet — the probe treats base-misses as definitively-new, so
+        these ≤batch-size sets are excluded with the same anti-join that
+        already excludes the current batch."""
+        return [
+            d.select("url") for r, d in self._state_deltas
+            if r > self._blooms_through
+        ]
+
+    def _release_retired(self) -> None:
+        """Unpersist replaced state bases — only when nothing in the
+        background (output appends, checkpoint writer) can still read
+        their checkpoint blocks (lineage is truncated: a dropped block is
+        unrecoverable, CLAUDE.md trap)."""
+        if self._out_tasks:
+            return
+        if self._ckpt_future is not None and not self._ckpt_future.done():
+            return
+        with self._state_lock:
+            retired, self._retired_state = self._retired_state, []
+        for df in retired:
+            df.unpersist()
 
     def _load_state(self) -> None:
         if self._frontier_df is None:
@@ -500,6 +576,7 @@ class CrawlEngine:
         for _, dfs in tasks:
             for df in dfs:
                 df.unpersist()
+        self._release_retired()
 
     def _reap_outputs(self) -> None:
         """Non-blocking: release the caches of output groups that have
@@ -515,23 +592,27 @@ class CrawlEngine:
             else:
                 still.append(task)
         self._out_tasks = still
+        self._release_retired()
 
     def _swap_state(self, frontier_df, seen, blooms) -> None:
         """Install the next round's state. ``seen``/``blooms`` are either a
         resolved DataFrame (or None, for reload-from-tables paths) or a
-        ``(future, input_df)`` pair for a merge still running in the
-        background — the input DataFrame's release is deferred to the
-        resolution point (the future reads it)."""
+        ``(future, covered_round)`` pair for a merge still running in the
+        background. On the round path the current base df STAYS installed
+        (it is the non-blocking view's base until the merge lands via
+        _poll_state); a pending older merge is simply superseded — the new
+        merge chains on its future directly."""
         # a pending prefetch was computed from the OLD frontier — discard
         # (run_round re-submits from the new state right after swapping)
         self._discard_prefetch()
-        # settle merges still pending from the PREVIOUS state (no-op on
-        # the normal round path, which resolved them mid-round; real work
-        # only on reload paths like expire/rollback)
-        if self._seen_fut is not None:
-            self._seen()
-        if self._blooms_fut is not None:
-            self._blooms()
+        reload_path = not isinstance(seen, tuple)
+        if reload_path:
+            # settle merges still pending before dropping in-memory state
+            # (expire/rollback/bootstrap re-read the tables)
+            if self._seen_fut is not None:
+                self._seen()
+            if self._blooms_fut is not None:
+                self._blooms()
         # an in-flight checkpoint reads the OLD state DataFrames — join it
         # before unpersisting them
         self._join_checkpoint()
@@ -544,14 +625,19 @@ class CrawlEngine:
         ):
             cur = getattr(self, df_attr)
             if isinstance(new, tuple):
-                # pending merge — `cur` is its input, kept alive until the
-                # resolution bookkeeping releases it
+                # pending merge — keep `cur` installed as the view base;
+                # the merge result replaces it at _poll_state/_resolve
                 setattr(self, fut_attr, new)
-                setattr(self, df_attr, None)
             else:
                 if cur is not None and cur is not new:
                     cur.unpersist()
                 setattr(self, df_attr, new)
+        if reload_path:
+            # tables now carry everything the deltas described
+            self._state_deltas = []
+            self._seen_through = 0
+            self._blooms_through = 0
+            self._release_retired()
 
     def checkpoint(self, round_no: int, wait: bool = False) -> None:
         """Snapshot the in-memory state (X5) — asynchronously, so the
@@ -798,6 +884,7 @@ class CrawlEngine:
                 _last[0] = now
 
         self._load_state()
+        self._poll_state()  # install any finished background merge (no wait)
         frontier_df = self._frontier_df
         nb, self._next_batch = self._next_batch, None
         if nb is not None and nb[1] is frontier_df:
@@ -899,7 +986,7 @@ class CrawlEngine:
                 extracted.withColumn("_rn", F.row_number().over(first_w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
-                .join(self._seen().select("url"), "url", "left_anti")
+                .join(self._seen_view().select("url"), "url", "left_anti")
                 .cache()
             )
         else:
@@ -1046,18 +1133,19 @@ class CrawlEngine:
                     ).alias("_s")
                 )
                 .select("url", "_s.*")
-                .join(self._seen().select("url"), "url", "left_anti")
+                .join(self._seen_view().select("url"), "url", "left_anti")
             )
         # localCheckpoint: materialize AND truncate the logical plan —
         # without it the state lineage grows every round and Catalyst
         # re-analysis goes exponential (the classic iterative-job trap).
         # Durability comes from checkpoint() snapshots, not these blocks.
-        # Both merges run ENTIRELY in the background (resolved lazily by
-        # round r+1, which has a full fetch+extract phase to hide them
-        # behind): this round's candidate dedup probes the THROUGH-r-1
-        # state and excludes its own batch explicitly below — identical
-        # semantics (seen_r = seen_{r-1} ∪ batch_r), zero serial state
-        # cost on the round critical path.
+        # Both merges run ENTIRELY in the background and the round loop
+        # NEVER waits for one (round 4; r3 still blocked at the probe when
+        # a merge outlived the next round's fetch+extract — 4-10 s spikes
+        # under the FAIR pool): candidate dedup probes the last
+        # MATERIALIZED base and excludes the uncovered rounds' url sets +
+        # its own batch below — identical semantics (seen_r = base ∪
+        # deltas ∪ batch_r), zero serial state cost on the critical path.
         add_hashes = bloom_mod.with_bloom_hashes(
             seen_add.select("url"), "url", cfg.num_partitions
         ).select("part_id", "h1", "h2")
@@ -1072,18 +1160,43 @@ class CrawlEngine:
         # downstream: under AQE, localCheckpoint records
         # UnknownPartitioning in the LogicalRDD — verified on this Spark —
         # so the shuffle would buy nothing and cost O(seen) per round.)
-        seen_fut = self._state_pool.submit(
-            self._bg_run,
-            lambda: self._seen().unionByName(seen_add)
-            .coalesce(self._state_parts)
-            .localCheckpoint()
-        )
-        blooms_fut = self._state_pool.submit(
-            self._bg_run,
-            lambda: self.pb.merge_blobs(
-                self._blooms(), add_hashes
-            ).localCheckpoint()
-        )
+        # each merge chains on the PREVIOUS round's future DIRECTLY (never
+        # through the blocking accessors — the round loop no longer resolves
+        # futures, so an accessor call here could wait on the caller's own
+        # pending entry). A base consumed from a future was never installed
+        # as the view base; it is retired for deferred release (a checkpoint
+        # writer may still be reading it — never unpersist inline).
+        prev_seen_fut, prev_seen_df = self._seen_fut, self._seen_df
+        prev_blooms_fut, prev_blooms_df = self._blooms_fut, self._blooms_df
+
+        def merge_seen():
+            base = (
+                prev_seen_fut[0].result()
+                if prev_seen_fut is not None else prev_seen_df
+            )
+            out = (
+                base.unionByName(seen_add)
+                .coalesce(self._state_parts)
+                .localCheckpoint()
+            )
+            if prev_seen_fut is not None:
+                with self._state_lock:
+                    self._retired_state.append(base)
+            return out
+
+        def merge_blooms():
+            base = (
+                prev_blooms_fut[0].result()
+                if prev_blooms_fut is not None else prev_blooms_df
+            )
+            out = self.pb.merge_blobs(base, add_hashes).localCheckpoint()
+            if prev_blooms_fut is not None:
+                with self._state_lock:
+                    self._retired_state.append(base)
+            return out
+
+        seen_fut = self._state_pool.submit(self._bg_run, merge_seen)
+        blooms_fut = self._state_pool.submit(self._bg_run, merge_blooms)
 
         _mark("seen+bloom_submit")
         # candidates: children at depth+1 ≤ max_depth (O2), discovery order =
@@ -1127,20 +1240,28 @@ class CrawlEngine:
         cand_h = bloom_mod.with_bloom_hashes(
             cand, "cand_url", cfg.num_partitions
         )
-        probed = self.pb.probe(cand_h, self._blooms()).cache()
+        probed = self.pb.probe(cand_h, self._blooms_df).cache()
         definitely_new = probed.filter(~F.col("maybe_seen"))
         maybe = probed.filter(F.col("maybe_seen"))
-        # NOTE: counted w.r.t. the through-r-1 state (a candidate linking
-        # back to a page fetched THIS round counts as definitively-new
-        # here and is removed by the batch anti-join below)
+        # NOTE: counted w.r.t. the materialized filter base (a candidate
+        # linking back to a page fetched this round — or a
+        # not-yet-merged recent round — counts as definitively-new here
+        # and is removed by the exclusion anti-join below)
         n_bloom_hits = maybe.count() if cfg.detailed_metrics else -1
         confirmed_new = maybe.join(
-            self._seen().select(F.col("url").alias("cand_url")),
+            self._seen_view().select(F.col("url").alias("cand_url")),
             "cand_url",
             "left_anti",
         )
+        # base-blob misses are definitively-new ONLY w.r.t. the rounds the
+        # materialized filter covers — exclude the uncovered rounds' url
+        # sets (normally none; one per lagging merge round, each ≤ batch
+        # size) together with this round's own batch, in one anti-join
+        exclude = batch.select("url")
+        for d in self._bloom_uncovered():
+            exclude = exclude.unionByName(d)
         new_cand = definitely_new.unionByName(confirmed_new).join(
-            batch.select(F.col("url").alias("cand_url")), "cand_url",
+            exclude.select(F.col("url").alias("cand_url")), "cand_url",
             "left_anti",
         )
         if cfg.fetcher == "http":
@@ -1236,7 +1357,11 @@ class CrawlEngine:
         # (localCheckpointed) seen — unpersisting it at resolution while an
         # append still runs would drop lineage-truncated blocks that can
         # never be recomputed (block-not-found, not a recompute).
-        out_caches = [extracted, fetched, self._seen_df, self._blooms_df]
+        # state BASES are no longer drained here: a base may serve several
+        # rounds' views while merges lag, so its release is deferred to
+        # _release_retired (retired at install/chain-consumption, freed only
+        # with no background consumers)
+        out_caches = [extracted, fetched]
         if pages_src is not extracted:
             out_caches.append(pages_src)
         self._reap_outputs()  # release earlier rounds' completed groups
@@ -1244,8 +1369,12 @@ class CrawlEngine:
             (_FutureGroup(out_futures + [seen_fut, blooms_fut]), out_caches)
         )
 
+        # the round's seen-additions stay visible to later rounds' views
+        # until BOTH merges cover them (plan over this round's cached
+        # extracted/fetched inputs, which out_tasks keeps alive)
+        self._state_deltas.append((round_no, seen_add))
         self._swap_state(
-            frontier_new, (seen_fut, None), (blooms_fut, None)
+            frontier_new, (seen_fut, round_no), (blooms_fut, round_no)
         )
         self._dirty = True
         self._last_round = round_no

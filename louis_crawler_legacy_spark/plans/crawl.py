@@ -417,10 +417,15 @@ class CrawlEngine:
         self._state_deltas: list[tuple[int, DataFrame]] = []
         self._seen_through = 0
         self._blooms_through = 0
-        # bases replaced by a newer merge result: released only when no
-        # background consumer (output appends, checkpoint writer) can
-        # still read their lineage-truncated blocks
-        self._retired_state: list[DataFrame] = []
+        # bases replaced by a newer merge result: (df, blockers) — each
+        # released as soon as ITS blockers (the background consumers in
+        # flight at retirement time — output appends, checkpoint writer —
+        # that could still read its lineage-truncated blocks) are done.
+        # Per-entry gating is what bounds this list: an all-or-nothing
+        # "no outputs in flight" gate starves forever on a busy crawl
+        # where some append is always running, accumulating O(seen)
+        # checkpointed blocks per round.
+        self._retired_state: list[tuple[DataFrame, list]] = []
 
     def _bg_run(self, fn, *args, **kwargs):
         """Run ``fn`` with the calling worker thread tagged into the
@@ -435,6 +440,26 @@ class CrawlEngine:
         return fn(*args, **kwargs)
 
     # -- state management --------------------------------------------------------
+    def _retire(self, df: DataFrame) -> None:
+        """Mark a replaced state base for deferred release, tagging it with
+        the background consumers in flight RIGHT NOW — only they can hold
+        a plan over this base (http-mode pages_src anti-joins the seen view
+        of its build round; a checkpoint writer writes the version it
+        captured). Anything submitted later reads the newer state, so the
+        blocker set is fixed and finite — release cannot starve. (A
+        checkpoint submit cannot interleave with the merge-chain retirement
+        window: both run_round and checkpoint() execute on the driver
+        thread, and the chain consumes a superseded future only after
+        _swap_state has installed its successor.)"""
+        blockers = [t[0] for t in self._out_tasks]
+        ckpt = self._ckpt_future
+        if ckpt is not None and not ckpt.done():
+            blockers.append(ckpt)
+        with self._state_lock:
+            self._retired_state.append(
+                (df, [b for b in blockers if not b.done()])
+            )
+
     def _install(self, fut_attr: str, df_attr: str, thr_attr: str,
                  pending: tuple, df: DataFrame) -> None:
         """First-installer-wins bookkeeping for a completed merge: swap in
@@ -447,8 +472,8 @@ class CrawlEngine:
             setattr(self, df_attr, df)
             setattr(self, thr_attr, pending[1])
             setattr(self, fut_attr, None)
-            if old is not None and old is not df:
-                self._retired_state.append(old)
+        if old is not None and old is not df:
+            self._retire(old)
 
     def _resolve(self, fut_attr: str, df_attr: str, thr_attr: str) -> None:
         """BLOCKING resolution (barrier paths only — run end, reload,
@@ -512,18 +537,21 @@ class CrawlEngine:
         ]
 
     def _release_retired(self) -> None:
-        """Unpersist replaced state bases — only when nothing in the
-        background (output appends, checkpoint writer) can still read
-        their checkpoint blocks (lineage is truncated: a dropped block is
-        unrecoverable, CLAUDE.md trap)."""
-        if self._out_tasks:
-            return
-        if self._ckpt_future is not None and not self._ckpt_future.done():
-            return
+        """Unpersist every retired state base whose own blockers have all
+        completed (lineage is truncated: a dropped block is unrecoverable,
+        CLAUDE.md trap — so a base waits for exactly the consumers that
+        could read it, and no longer)."""
         with self._state_lock:
-            retired, self._retired_state = self._retired_state, []
-        for df in retired:
-            df.unpersist()
+            entries, self._retired_state = self._retired_state, []
+        still = []
+        for df, blockers in entries:
+            if all(b.done() for b in blockers):
+                df.unpersist()
+            else:
+                still.append((df, blockers))
+        if still:
+            with self._state_lock:
+                self._retired_state.extend(still)
 
     def _load_state(self) -> None:
         if self._frontier_df is None:
@@ -1180,8 +1208,7 @@ class CrawlEngine:
                 .localCheckpoint()
             )
             if prev_seen_fut is not None:
-                with self._state_lock:
-                    self._retired_state.append(base)
+                self._retire(base)
             return out
 
         def merge_blooms():
@@ -1191,8 +1218,7 @@ class CrawlEngine:
             )
             out = self.pb.merge_blobs(base, add_hashes).localCheckpoint()
             if prev_blooms_fut is not None:
-                with self._state_lock:
-                    self._retired_state.append(base)
+                self._retire(base)
             return out
 
         seen_fut = self._state_pool.submit(self._bg_run, merge_seen)
@@ -1359,8 +1385,8 @@ class CrawlEngine:
         # never be recomputed (block-not-found, not a recompute).
         # state BASES are no longer drained here: a base may serve several
         # rounds' views while merges lag, so its release is deferred to
-        # _release_retired (retired at install/chain-consumption, freed only
-        # with no background consumers)
+        # _release_retired (retired at install/chain-consumption, freed once
+        # the consumers in flight at its retirement have completed)
         out_caches = [extracted, fetched]
         if pages_src is not extracted:
             out_caches.append(pages_src)

@@ -358,7 +358,9 @@ def test_long_run_soak_flat_wall_and_partitions(spark, tmp_path):
     40 the round plan would schedule thousands of state tasks), and
     (b) late-round wall time stays within noise of early rounds (an
     O(rounds) per-round cost would show a clear upward trend by round
-    40+)."""
+    40+), and (c) the retired-state list (replaced bases awaiting their
+    blockers) stays bounded — a starved release would leak one O(seen)
+    localCheckpointed base per round."""
     import statistics
 
     corpus = corpus_mod.generate_corpus(
@@ -372,7 +374,7 @@ def test_long_run_soak_flat_wall_and_partitions(spark, tmp_path):
         spark, corpus_mod.corpus_df(spark, corpus), str(tmp_path / "wh"), cfg
     )
     eng.bootstrap(corpus_mod.seed_urls(corpus, n=2))
-    walls, seen_parts, frontier_parts = [], [], []
+    walls, seen_parts, frontier_parts, retired = [], [], [], []
     r = 1
     while r <= 48:
         s = eng.run_round(r)
@@ -381,8 +383,14 @@ def test_long_run_soak_flat_wall_and_partitions(spark, tmp_path):
         walls.append(s.wall_sec)
         seen_parts.append(eng._seen().rdd.getNumPartitions())
         frontier_parts.append(eng._frontier_df.rdd.getNumPartitions())
+        retired.append(len(eng._retired_state))
         r += 1
     eng.checkpoint(r - 1, wait=True)
+    assert max(retired) <= 8, f"retired-state list trending up: {retired}"
+    eng._drain_outputs()
+    assert eng._retired_state == [], (
+        "retired bases must all free once every background consumer drains"
+    )
     assert len(walls) >= 40, f"corpus exhausted after {len(walls)} rounds"
     assert len(set(seen_parts[1:])) == 1, f"seen partitions grew: {seen_parts}"
     assert len(set(frontier_parts[1:])) == 1, (

@@ -188,3 +188,64 @@ def test_state_partition_count_constant_across_rounds(spark, tmp_path):
     )
     assert seen_parts[-1] <= eng._state_parts
     assert frontier_parts[-1] <= eng._state_parts
+
+
+def test_retired_state_release_is_per_entry_not_all_or_nothing():
+    """Retired state bases must free as soon as THEIR OWN blockers (the
+    background consumers in flight at retirement) complete — an
+    all-or-nothing "no outputs in flight" gate starves forever on a busy
+    crawl where some append is always running, leaking one O(seen)
+    localCheckpointed base per round. Pure-mechanics test: no Spark."""
+    import threading
+
+    from louis_crawler_legacy_spark.plans.crawl import CrawlEngine
+
+    class FakeDf:
+        def __init__(self):
+            self.released = False
+
+        def unpersist(self):
+            self.released = True
+
+    class FakeFut:
+        def __init__(self, is_done=False):
+            self._done = is_done
+
+        def done(self):
+            return self._done
+
+    eng = CrawlEngine.__new__(CrawlEngine)
+    eng._state_lock = threading.Lock()
+    eng._retired_state = []
+    eng._ckpt_future = None
+
+    slow = FakeFut(False)
+    # base A retired while `slow` is in flight; base B retired later, when
+    # only already-done consumers remain
+    a, b = FakeDf(), FakeDf()
+    eng._out_tasks = [(slow, [])]
+    eng._retire(a)
+    eng._out_tasks = [(FakeFut(True), [])]
+    eng._retire(b)
+
+    eng._release_retired()
+    assert b.released, "entry with all-done blockers must free immediately"
+    assert not a.released, "entry with a live blocker must wait"
+    assert [df for df, _ in eng._retired_state] == [a]
+
+    slow._done = True
+    eng._release_retired()
+    assert a.released
+    assert eng._retired_state == []
+
+    # a pending checkpoint writer blocks only bases retired while it runs
+    ckpt = FakeFut(False)
+    eng._ckpt_future = ckpt
+    eng._out_tasks = []
+    c = FakeDf()
+    eng._retire(c)
+    eng._release_retired()
+    assert not c.released
+    ckpt._done = True
+    eng._release_retired()
+    assert c.released

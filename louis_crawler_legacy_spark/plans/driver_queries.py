@@ -508,6 +508,85 @@ def x_frontier_crawl_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+# ---------------------------------------------------------------------------
+# Robots RFC 9309 evaluator — EXACT driver-gate pin for the compliance
+# feature the r03 verdict ranked the top user-facing gap (implemented in
+# round 4). The Spark side is the engine's NATIVE evaluator — regexp_like +
+# an aggregate fold over the per-host ordered rules array
+# (operators/politeness.py robots_disallowed_expr), the exact expression
+# robots_filter applies inside the crawl round — so the gate pins Java
+# regex / parse_url semantics against the pure-Python twin
+# (robots_blocked_py: re + urlparse) that the simulator-equality suite
+# trusts. Cases cover the RFC corner set: Allow overriding a broader
+# Disallow, '*' wildcards, '$' end anchors (including a query string
+# defeating the anchor), longest-match-wins, equal-length tie → Allow
+# wins, agent-group selection (non-matching specific group skipped for the
+# '*' fallback), path?query match targets, an empty robots.txt, and a host
+# with no robots entry at all.
+_ROBOTS_BODIES = {
+    "a.example": "User-agent: *\nDisallow: /\nAllow: /public/\n",
+    "b.example": (
+        "User-agent: *\nDisallow: /*.pdf$\nDisallow: /private*\n"
+        "Allow: /private/ok$\nDisallow: /search?q=\n"
+        "Allow: /tie/\nDisallow: /tie/\n"
+    ),
+    "c.example": (
+        "User-agent: louis\nDisallow: /only-louis/\n\n"
+        "User-agent: *\nDisallow: /everyone/\n"
+    ),
+    "d.example": "",
+}
+_ROBOTS_URLS = [
+    "http://a.example/", "http://a.example/public/page.html",
+    "http://a.example/public/", "http://a.example/publicx",
+    "http://a.example/private/page.html",
+    "http://b.example/doc.pdf", "http://b.example/doc.pdf?x=1",
+    "http://b.example/private/ok", "http://b.example/private/ok2",
+    "http://b.example/search?q=foo", "http://b.example/search",
+    "http://b.example/a/b/file.pdf", "http://b.example/tie/x",
+    "http://c.example/everyone/x", "http://c.example/only-louis/x",
+    "http://d.example/anything", "http://e.example/whatever",
+]
+
+
+def _robots_oracle() -> str:
+    from louis_crawler_legacy_spark.operators.politeness import (
+        robots_blocked_py,
+    )
+    from louis_crawler_legacy_spark.operators.robots import robots_map
+
+    m = robots_map(_ROBOTS_BODIES)
+    rows = ", ".join(
+        f"('{u}', {'TRUE' if robots_blocked_py(u, m) else 'FALSE'})"
+        for u in _ROBOTS_URLS
+    )
+    return f"""
+    SELECT c0 AS url, CAST(c1 AS BOOLEAN) AS blocked
+    FROM (VALUES {rows}) AS t(c0, c1)
+    """
+
+
+@query("r1_robots_rfc", _robots_oracle())
+def r1_robots_rfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.politeness import (
+        robots_disallowed_expr, url_match_target,
+    )
+    from louis_crawler_legacy_spark.operators.robots import robots_table
+
+    robots = robots_table(spark, _ROBOTS_BODIES)
+    cand = spark.createDataFrame(
+        [(u,) for u in _ROBOTS_URLS], ["url"]
+    ).withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+    # the same broadcast-join + native-fold shape robots_filter uses in the
+    # round pipeline, kept as (url, blocked) so BOTH outcomes are hashed
+    return cand.join(F.broadcast(robots), "host", "left").select(
+        "url",
+        robots_disallowed_expr(
+            url_match_target(F.col("url")), F.col("rules")
+        ).alias("blocked"),
+    )
+
+
 # ===========================================================================
 # Training-data pipeline operators (dedup / similarity / text analysis /
 # multimodal) — first-class components per the build brief.

@@ -261,6 +261,14 @@ class CrawlConfig:
     # whenever the state it was computed from is replaced (resume, expire,
     # rollback, bootstrap).
     prefetch_batch: bool = True
+    # ceiling on how many rounds the background seen/bloom merges may lag
+    # behind the round loop before _poll_state blocks on the oldest chain
+    # entries. Each uncovered round is one more delta plan the candidate
+    # dedup recomputes per round, so unbounded lag turns the non-blocking
+    # view into O(lag) critical-path work — bounded lag keeps the overlap
+    # win while capping the recompute (and the cached round inputs the
+    # pending merges pin in memory).
+    max_merge_lag: int = 2
 
 
 class _FutureGroup:
@@ -404,16 +412,26 @@ class CrawlEngine:
         # k+1's merge chains on round k's via the lazy accessor.
         self._state_pool = ThreadPoolExecutor(max_workers=2)
         self._state_lock = threading.Lock()
-        # pending merge: (future, covered_round)
-        self._seen_fut: tuple | None = None
-        self._blooms_fut: tuple | None = None
+        # pending merge chains, oldest first: [(future, covered_round), …].
+        # Entries complete in chain order (entry k+1's merge consumes entry
+        # k's result), so _advance installs the NEWEST completed entry as
+        # the view base and retires every superseded intermediate — the
+        # original single-slot design only ever checked the latest
+        # (superseded) future, so once a merge lagged one round the base
+        # could never advance until the whole chain drained, and the view's
+        # delta list grew without bound (measured: O(rounds) recompute on
+        # the critical path).
+        self._seen_chain: list[tuple] = []
+        self._blooms_chain: list[tuple] = []
         # NON-BLOCKING state views (round 4): _seen_df/_blooms_df always
         # hold the last MATERIALIZED base (covering rounds ≤ _*_through);
         # _state_deltas holds each later round's seen-additions as a
         # (round, df) plan over that round's still-cached inputs. The
-        # round pipeline probes base ∪ uncovered-deltas and NEVER waits
-        # for a merge — merges chain on each other explicitly in the
-        # background and install via the non-blocking _poll_state.
+        # round pipeline probes base ∪ uncovered-deltas and never waits
+        # for a merge while the lag stays ≤ config.max_merge_lag — beyond
+        # that _poll_state blocks on the oldest chain entries
+        # (backpressure: each uncovered round is a delta the critical
+        # path recomputes, so unbounded lag is unbounded per-round work).
         self._state_deltas: list[tuple[int, DataFrame]] = []
         self._seen_through = 0
         self._blooms_through = 0
@@ -427,15 +445,17 @@ class CrawlEngine:
         # checkpointed blocks per round.
         self._retired_state: list[tuple[DataFrame, list]] = []
 
-    def _bg_run(self, fn, *args, **kwargs):
-        """Run ``fn`` with the calling worker thread tagged into the
-        low-share FAIR pool (session.py): background jobs (state merges,
-        output appends, checkpoint writes) yield task slots to the next
-        round's critical path instead of holding FIFO priority over it.
-        The local property is per-thread sticky (pinned thread mode);
-        setting it per call is idempotent and cheap."""
+    def _bg_run(self, fn, *args, _pool: str = "background", **kwargs):
+        """Run ``fn`` with the calling worker thread tagged into a FAIR
+        pool (session.py): output appends and checkpoint writes go to the
+        low-share "background" pool (they gate nothing — yield task slots
+        to the next round's critical path), state merges to the
+        equal-weight "state" pool (the view's coverage gates the critical
+        path's per-round delta recompute, so a starved merge COSTS
+        foreground time). The local property is per-thread sticky (pinned
+        thread mode); setting it per call is idempotent and cheap."""
         self.spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", "background"
+            "spark.scheduler.pool", _pool
         )
         return fn(*args, **kwargs)
 
@@ -447,10 +467,9 @@ class CrawlEngine:
         of its build round; a checkpoint writer writes the version it
         captured). Anything submitted later reads the newer state, so the
         blocker set is fixed and finite — release cannot starve. (A
-        checkpoint submit cannot interleave with the merge-chain retirement
-        window: both run_round and checkpoint() execute on the driver
-        thread, and the chain consumes a superseded future only after
-        _swap_state has installed its successor.)"""
+        checkpoint submit cannot interleave with a retirement: retiring
+        happens only in _advance and both it and checkpoint() execute on
+        the driver thread.)"""
         blockers = [t[0] for t in self._out_tasks]
         ckpt = self._ckpt_future
         if ckpt is not None and not ckpt.done():
@@ -460,59 +479,77 @@ class CrawlEngine:
                 (df, [b for b in blockers if not b.done()])
             )
 
-    def _install(self, fut_attr: str, df_attr: str, thr_attr: str,
-                 pending: tuple, df: DataFrame) -> None:
-        """First-installer-wins bookkeeping for a completed merge: swap in
-        the new base, record the round it covers, retire the old base
-        (released once no background consumer can still read it)."""
-        with self._state_lock:
-            if getattr(self, fut_attr) is not pending:
-                return
-            old = getattr(self, df_attr)
-            setattr(self, df_attr, df)
-            setattr(self, thr_attr, pending[1])
-            setattr(self, fut_attr, None)
-        if old is not None and old is not df:
+    def _advance(self, chain_attr: str, df_attr: str, thr_attr: str,
+                 block_idx: int | None = None) -> None:
+        """Install the NEWEST completed merge from the chain as the view
+        base; retire the replaced base and every superseded intermediate
+        result (each was consumed only by the next merge in the chain,
+        which must already have completed for a newer entry to be done —
+        release still defers to _release_retired's blocker gating because
+        a checkpoint writer may have captured an entry's future). With
+        ``block_idx`` set, first wait for that chain entry — entries
+        complete in chain order, so waiting on index i bounds the pending
+        chain to len-i-1 entries. Driver thread only (chains and view
+        attrs are driver-owned; the lock covers _retired_state)."""
+        chain = getattr(self, chain_attr)
+        if not chain:
+            return
+        if block_idx is not None:
+            chain[min(block_idx, len(chain) - 1)][0].result()
+        newest = -1
+        for i, (fut, _) in enumerate(chain):
+            if fut.done():
+                newest = i
+        if newest < 0:
+            return
+        new_df = chain[newest][0].result()
+        old = getattr(self, df_attr)
+        setattr(self, df_attr, new_df)
+        setattr(self, thr_attr, chain[newest][1])
+        superseded = chain[:newest]
+        del chain[: newest + 1]
+        for fut, _ in superseded:
+            df = fut.result()
+            if df is not new_df and df is not old:
+                self._retire(df)
+        if old is not None and old is not new_df:
             self._retire(old)
 
-    def _resolve(self, fut_attr: str, df_attr: str, thr_attr: str) -> None:
-        """BLOCKING resolution (barrier paths only — run end, reload,
-        expire): wait OUTSIDE the lock, then install."""
-        with self._state_lock:
-            pending = getattr(self, fut_attr)
-        if pending is None:
-            return
-        self._install(fut_attr, df_attr, thr_attr, pending, pending[0].result())
-
-    def _poll_state(self) -> None:
-        """Non-blocking: install any COMPLETED background merge as the new
-        base and prune the deltas it covers. Called at round start — the
-        round never waits for a merge; a lagging merge just means one more
-        small delta in the view."""
-        for fut_attr, df_attr, thr_attr in (
-            ("_seen_fut", "_seen_df", "_seen_through"),
-            ("_blooms_fut", "_blooms_df", "_blooms_through"),
+    def _poll_state(self, max_lag: int | None = None) -> None:
+        """Install any COMPLETED background merge as the new base and prune
+        the deltas it covers. Called at round start — non-blocking while
+        the chain is ≤ ``max_lag`` entries deep; beyond that it waits on
+        the oldest entries (backpressure: each pending entry is an
+        uncovered delta the critical path recomputes every round, so
+        unbounded lag is unbounded per-round work — the measured
+        round-4 regression)."""
+        for chain_attr, df_attr, thr_attr in (
+            ("_seen_chain", "_seen_df", "_seen_through"),
+            ("_blooms_chain", "_blooms_df", "_blooms_through"),
         ):
-            with self._state_lock:
-                pending = getattr(self, fut_attr)
-            if pending is not None and pending[0].done():
-                self._install(
-                    fut_attr, df_attr, thr_attr, pending, pending[0].result()
-                )
+            chain = getattr(self, chain_attr)
+            block_idx = None
+            if max_lag is not None and len(chain) > max_lag:
+                block_idx = len(chain) - 1 - max_lag
+            self._advance(chain_attr, df_attr, thr_attr, block_idx)
         covered = min(self._seen_through, self._blooms_through)
         self._state_deltas = [
             (r, d) for r, d in self._state_deltas if r > covered
         ]
 
     def _seen(self) -> DataFrame:
-        """Seen rows through the last merged round — BLOCKING on the
-        pending background merge. Barrier paths only; the round pipeline
+        """Seen rows through the last merged round — BLOCKING until the
+        whole merge chain drains. Barrier paths only; the round pipeline
         uses _seen_view()."""
-        self._resolve("_seen_fut", "_seen_df", "_seen_through")
+        chain = self._seen_chain
+        self._advance("_seen_chain", "_seen_df", "_seen_through",
+                      block_idx=len(chain) - 1 if chain else None)
         return self._seen_df
 
     def _blooms(self) -> DataFrame:
-        self._resolve("_blooms_fut", "_blooms_df", "_blooms_through")
+        chain = self._blooms_chain
+        self._advance("_blooms_chain", "_blooms_df", "_blooms_through",
+                      block_idx=len(chain) - 1 if chain else None)
         return self._blooms_df
 
     def _seen_view(self) -> DataFrame:
@@ -556,9 +593,9 @@ class CrawlEngine:
     def _load_state(self) -> None:
         if self._frontier_df is None:
             self._frontier_df = self.frontier.read().cache()
-        if self._seen_df is None and self._seen_fut is None:
+        if self._seen_df is None and not self._seen_chain:
             self._seen_df = self.seen.read().cache()
-        if self._blooms_df is None and self._blooms_fut is None:
+        if self._blooms_df is None and not self._blooms_chain:
             # a warehouse checkpointed with one filter kind must not be
             # reopened with the other: the blobs share a table but not a
             # format (cuckoo blobs are magic-tagged, so that direction
@@ -627,9 +664,9 @@ class CrawlEngine:
         resolved DataFrame (or None, for reload-from-tables paths) or a
         ``(future, covered_round)`` pair for a merge still running in the
         background. On the round path the current base df STAYS installed
-        (it is the non-blocking view's base until the merge lands via
-        _poll_state); a pending older merge is simply superseded — the new
-        merge chains on its future directly."""
+        (it is the non-blocking view's base until a merge lands via
+        _poll_state/_advance); the pending pair is appended to the merge
+        chain."""
         # a pending prefetch was computed from the OLD frontier — discard
         # (run_round re-submits from the new state right after swapping)
         self._discard_prefetch()
@@ -637,9 +674,9 @@ class CrawlEngine:
         if reload_path:
             # settle merges still pending before dropping in-memory state
             # (expire/rollback/bootstrap re-read the tables)
-            if self._seen_fut is not None:
+            if self._seen_chain:
                 self._seen()
-            if self._blooms_fut is not None:
+            if self._blooms_chain:
                 self._blooms()
         # an in-flight checkpoint reads the OLD state DataFrames — join it
         # before unpersisting them
@@ -647,15 +684,15 @@ class CrawlEngine:
         if self._frontier_df is not None:
             self._frontier_df.unpersist()
         self._frontier_df = frontier_df
-        for df_attr, fut_attr, new in (
-            ("_seen_df", "_seen_fut", seen),
-            ("_blooms_df", "_blooms_fut", blooms),
+        for df_attr, chain_attr, new in (
+            ("_seen_df", "_seen_chain", seen),
+            ("_blooms_df", "_blooms_chain", blooms),
         ):
             cur = getattr(self, df_attr)
             if isinstance(new, tuple):
                 # pending merge — keep `cur` installed as the view base;
-                # the merge result replaces it at _poll_state/_resolve
-                setattr(self, fut_attr, new)
+                # the merge result replaces it at _poll_state/_advance
+                getattr(self, chain_attr).append(new)
             else:
                 if cur is not None and cur is not new:
                     cur.unpersist()
@@ -684,13 +721,14 @@ class CrawlEngine:
             self._join_checkpoint()  # keep snapshot commits ordered
             out_tasks, self._out_tasks = self._out_tasks, []
             # capture the state VERSION at submit time: a still-pending
-            # merge is captured as its future (resolved by the background
-            # writer — never on this thread)
-            sf, bf = self._seen_fut, self._blooms_fut
+            # merge chain is captured as its NEWEST future (covers every
+            # earlier entry; resolved by the background writer — never on
+            # this thread)
+            sc, bc = self._seen_chain, self._blooms_chain
             state = (
                 self._frontier_df,
-                sf[0] if sf is not None else self._seen_df,
-                bf[0] if bf is not None else self._blooms_df,
+                sc[-1][0] if sc else self._seen_df,
+                bc[-1][0] if bc else self._blooms_df,
                 list(self._pending_metrics), out_tasks,
             )
             self._pending_metrics = []
@@ -912,7 +950,19 @@ class CrawlEngine:
                 _last[0] = now
 
         self._load_state()
-        self._poll_state()  # install any finished background merge (no wait)
+        # install any finished background merge; block only if the merge
+        # chain has fallen more than max_merge_lag rounds behind
+        self._poll_state(max_lag=cfg.max_merge_lag)
+        if _prof:
+            print(
+                f"    [prof r{round_no}] lag: deltas={len(self._state_deltas)}"
+                f" seen_thr={self._seen_through}"
+                f" blooms_thr={self._blooms_through}"
+                f" chains={len(self._seen_chain)}/{len(self._blooms_chain)}"
+                f" retired={len(self._retired_state)}"
+                f" out_tasks={len(self._out_tasks)}",
+                flush=True,
+            )
         frontier_df = self._frontier_df
         nb, self._next_batch = self._next_batch, None
         if nb is not None and nb[1] is frontier_df:
@@ -1191,38 +1241,58 @@ class CrawlEngine:
         # each merge chains on the PREVIOUS round's future DIRECTLY (never
         # through the blocking accessors — the round loop no longer resolves
         # futures, so an accessor call here could wait on the caller's own
-        # pending entry). A base consumed from a future was never installed
-        # as the view base; it is retired for deferred release (a checkpoint
-        # writer may still be reading it — never unpersist inline).
-        prev_seen_fut, prev_seen_df = self._seen_fut, self._seen_df
-        prev_blooms_fut, prev_blooms_df = self._blooms_fut, self._blooms_df
+        # pending entry). Retirement of consumed/replaced bases is ALL
+        # driver-side in _advance: the worker cannot know whether its input
+        # is (or will become) the installed view base, and a retire from
+        # two sides would double-release.
+        prev_seen_fut = self._seen_chain[-1][0] if self._seen_chain else None
+        prev_blooms_fut = (
+            self._blooms_chain[-1][0] if self._blooms_chain else None
+        )
+        prev_seen_df, prev_blooms_df = self._seen_df, self._blooms_df
+
+        _sub_t = time.time()
 
         def merge_seen():
+            t_s = time.time()
             base = (
-                prev_seen_fut[0].result()
+                prev_seen_fut.result()
                 if prev_seen_fut is not None else prev_seen_df
             )
+            t_b = time.time()
             out = (
                 base.unionByName(seen_add)
                 .coalesce(self._state_parts)
                 .localCheckpoint()
             )
-            if prev_seen_fut is not None:
-                self._retire(base)
+            if _prof:
+                print(
+                    f"    [prof r{round_no}] merge_seen: queued "
+                    f"{t_s - _sub_t:.2f}s chainwait {t_b - t_s:.2f}s "
+                    f"run {time.time() - t_b:.2f}s", flush=True)
             return out
 
         def merge_blooms():
+            t_s = time.time()
             base = (
-                prev_blooms_fut[0].result()
+                prev_blooms_fut.result()
                 if prev_blooms_fut is not None else prev_blooms_df
             )
+            t_b = time.time()
             out = self.pb.merge_blobs(base, add_hashes).localCheckpoint()
-            if prev_blooms_fut is not None:
-                self._retire(base)
+            if _prof:
+                print(
+                    f"    [prof r{round_no}] merge_blooms: queued "
+                    f"{t_s - _sub_t:.2f}s chainwait {t_b - t_s:.2f}s "
+                    f"run {time.time() - t_b:.2f}s", flush=True)
             return out
 
-        seen_fut = self._state_pool.submit(self._bg_run, merge_seen)
-        blooms_fut = self._state_pool.submit(self._bg_run, merge_blooms)
+        seen_fut = self._state_pool.submit(
+            self._bg_run, merge_seen, _pool="state"
+        )
+        blooms_fut = self._state_pool.submit(
+            self._bg_run, merge_blooms, _pool="state"
+        )
 
         _mark("seen+bloom_submit")
         # candidates: children at depth+1 ≤ max_depth (O2), discovery order =

@@ -63,14 +63,21 @@ def get_spark(
         # would otherwise each wait the default 3 s for their preferred
         # executor; remote reads of the small state blocks are cheaper
         .config("spark.locality.wait", "0s")
-        # FAIR scheduling with a low-share "background" pool: the crawl
-        # engine's state merges / output appends / checkpoint writes run as
-        # background jobs overlapping the next round — under FIFO they are
-        # submitted EARLIER than the next round's critical-path jobs and
-        # therefore hold strict priority for task slots at a saturated
-        # local[32]. The weighted FAIR pool (default:4 vs background:1)
-        # makes them yield instead (CrawlEngine tags its background threads
-        # with spark.scheduler.pool=background).
+        # FAIR scheduling, three pools: the crawl engine's output appends /
+        # checkpoint writes run as background jobs overlapping the next
+        # round — under FIFO they are submitted EARLIER than the next
+        # round's critical-path jobs and therefore hold strict priority for
+        # task slots at a saturated local[32]; the weighted "background"
+        # pool (1 vs default's 4) makes them yield instead. State MERGES
+        # get their own equal-weight "state" pool: the round loop never
+        # blocks on a merge (non-blocking views), so a merge stuck behind
+        # the appends in the low-share FIFO background pool starves for
+        # whole rounds at a saturated cluster — measured 10-50 s for a
+        # 32-task union — and every uncovered round adds a delta the
+        # critical path recomputes (O(lag) per round). Merges are tiny
+        # (union of one round's additions, blob aggregate); at equal
+        # weight they land within the next round's fetch. (CrawlEngine
+        # tags its worker threads with spark.scheduler.pool.)
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.scheduler.allocation.file", _fair_allocation_file())
     )
@@ -107,6 +114,10 @@ def _fair_allocation_file() -> str:
                 '  <pool name="background">\n'
                 "    <schedulingMode>FIFO</schedulingMode>\n"
                 "    <weight>1</weight>\n    <minShare>0</minShare>\n"
+                "  </pool>\n"
+                '  <pool name="state">\n'
+                "    <schedulingMode>FIFO</schedulingMode>\n"
+                "    <weight>4</weight>\n    <minShare>0</minShare>\n"
                 "  </pool>\n"
                 "</allocations>\n"
             )

@@ -249,3 +249,87 @@ def test_retired_state_release_is_per_entry_not_all_or_nothing():
     ckpt._done = True
     eng._release_retired()
     assert c.released
+
+
+def test_merge_chain_installs_newest_completed_and_bounds_lag():
+    """The non-blocking state views' merge-chain protocol (pure
+    mechanics, no Spark): _advance must install the NEWEST completed
+    chain entry as the view base even while later entries are still
+    running (the original single-slot design only checked the latest
+    superseded future, so one lagging merge froze the base — and the
+    per-round view deltas, recomputed on the critical path — for the
+    rest of the crawl); superseded intermediates and the replaced base
+    are retired driver-side exactly once; _poll_state(max_lag=K) blocks
+    on the oldest entries until at most K remain pending."""
+    import threading
+
+    from louis_crawler_legacy_spark.plans.crawl import CrawlEngine
+
+    class FakeDf:
+        def __init__(self, name):
+            self.name = name
+            self.released = False
+
+        def unpersist(self):
+            self.released = True
+
+    class FakeFut:
+        def __init__(self, df, is_done=False):
+            self._df = df
+            self._done = is_done
+            self.waited = False
+
+        def done(self):
+            return self._done
+
+        def result(self):
+            self.waited = True
+            self._done = True  # blocking wait completes the merge
+            return self._df
+
+    eng = CrawlEngine.__new__(CrawlEngine)
+    eng._state_lock = threading.Lock()
+    eng._retired_state = []
+    eng._ckpt_future = None
+    eng._out_tasks = []
+    eng._state_deltas = []
+    eng._blooms_chain = []
+    eng._blooms_through = 0
+    eng._blooms_df = None
+
+    base0 = FakeDf("base0")
+    r1, r2, r3 = FakeDf("r1"), FakeDf("r2"), FakeDf("r3")
+    eng._seen_df = base0
+    eng._seen_through = 0
+    f1, f2, f3 = FakeFut(r1, True), FakeFut(r2, True), FakeFut(r3, False)
+    eng._seen_chain = [(f1, 1), (f2, 2), (f3, 3)]
+
+    # non-blocking poll: f2 is the newest DONE entry — install it, retire
+    # base0 (replaced) and r1 (superseded intermediate), keep f3 pending
+    eng._poll_state()
+    assert eng._seen_df is r2 and eng._seen_through == 2
+    assert eng._seen_chain == [(f3, 3)]
+    assert not f3.waited, "poll must not block on a pending merge"
+    retired = {df.name for df, _ in eng._retired_state}
+    assert retired == {"base0", "r1"}
+    assert not r2.released and not r3.released
+
+    # lag backpressure: chain deeper than max_lag → block on the oldest
+    # entries until ≤ max_lag remain
+    f4, f5 = FakeFut(FakeDf("r4"), False), FakeFut(FakeDf("r5"), False)
+    eng._seen_chain = [(f3, 3), (f4, 4), (f5, 5)]
+    eng._poll_state(max_lag=2)
+    assert f3.waited, "beyond max_lag the oldest entry must be waited on"
+    assert len(eng._seen_chain) <= 2
+    assert eng._seen_df is r3 and eng._seen_through == 3
+
+    # delta pruning follows min(seen, blooms) coverage
+    eng._state_deltas = [(1, "d1"), (3, "d3"), (4, "d4")]
+    eng._blooms_through = 3
+    eng._poll_state()
+    assert [r for r, _ in eng._state_deltas] == [4]
+
+    # blocking accessor drains the whole chain
+    got = eng._seen()
+    assert got.name == "r5" and eng._seen_through == 5
+    assert eng._seen_chain == []

@@ -444,6 +444,13 @@ class CrawlEngine:
         # where some append is always running, accumulating O(seen)
         # checkpointed blocks per round.
         self._retired_state: list[tuple[DataFrame, list]] = []
+        # caches whose output groups the CHECKPOINT WRITER joined on its
+        # background thread: the writer must not unpersist them inline (a
+        # later round's in-flight append can still reference them through
+        # an uncovered seen delta, and the blocker set can only be read
+        # race-free on the driver) — it hands them back here and the
+        # driver retires them with current blockers at the next reap/drain
+        self._ckpt_handoff: list[DataFrame] = []
 
     def _bg_run(self, fn, *args, _pool: str = "background", **kwargs):
         """Run ``fn`` with the calling worker thread tagged into a FAIR
@@ -634,26 +641,49 @@ class CrawlEngine:
 
     def _drain_outputs(self) -> None:
         """Join all in-flight output appends (surfacing failures), then
-        release the cached DataFrames they were reading."""
+        release the cached DataFrames they were reading. Barrier path:
+        with every append joined (and callers joining the checkpoint
+        writer first), inline unpersist is safe here — nothing that could
+        read the caches is still running."""
         tasks, self._out_tasks = self._out_tasks, []
         for fut, _ in tasks:
             fut.result()
         for _, dfs in tasks:
             for df in dfs:
                 df.unpersist()
+        self._drain_handoff()
         self._release_retired()
+
+    def _drain_handoff(self) -> None:
+        """Retire (driver-side, with current blockers) the caches the
+        checkpoint writer joined on its background thread."""
+        with self._state_lock:
+            handoff, self._ckpt_handoff = self._ckpt_handoff, []
+        for df in handoff:
+            self._retire(df)
 
     def _reap_outputs(self) -> None:
         """Non-blocking: release the caches of output groups that have
         ALREADY completed. Keeps the cached round inputs (extracted,
         fetched, old state) bounded on long runs with checkpoint_every=0,
-        where no per-round checkpoint writer drains them."""
+        where no per-round checkpoint writer drains them.
+
+        Caches are RETIRED (blocker-gated), never unpersisted inline: a
+        completed round-k group's extracted/fetched can still back an
+        uncovered seen delta inside a LATER round's in-flight append plan
+        (built while merge k was pending). An inline unpersist there
+        forces a lineage recompute mid-append — in http mode that re-runs
+        the live fetch for round k's whole batch (duplicate requests, and
+        the refetched rows need not equal the originals). The blocker set
+        (in-flight groups + checkpoint writer at retire time) is exactly
+        the set of jobs that can still read the cache."""
+        self._drain_handoff()
         still = []
         for task in self._out_tasks:
             if task[0].done():
                 task[0].result()  # surface failures
                 for df in task[1]:
-                    df.unpersist()
+                    self._retire(df)
             else:
                 still.append(task)
         self._out_tasks = still
@@ -751,9 +781,15 @@ class CrawlEngine:
         # appends are durable
         for fut, _ in out_tasks:
             fut.result()
-        for _, dfs in out_tasks:
-            for df in dfs:
-                df.unpersist()
+        # hand the joined groups' caches back to the driver for
+        # blocker-gated retirement (NOT unpersist-inline: a later round's
+        # in-flight append can still reference a cache through an
+        # uncovered seen delta, and this thread cannot read the live
+        # blocker set race-free)
+        with self._state_lock:
+            self._ckpt_handoff.extend(
+                df for _, dfs in out_tasks for df in dfs
+            )
         self.frontier.overwrite(frontier_df, {"round": round_no})
         self.seen.overwrite(seen_df, {"round": round_no})
         self.blooms.overwrite(
@@ -1460,10 +1496,16 @@ class CrawlEngine:
         out_caches = [extracted, fetched]
         if pages_src is not extracted:
             out_caches.append(pages_src)
-        self._reap_outputs()  # release earlier rounds' completed groups
+        # register THIS round's group BEFORE reaping: a completed group's
+        # caches may still back an uncovered seen delta referenced by this
+        # round's in-flight append plans (http-mode pages_src anti-joins
+        # the view of its build round) — _reap_outputs retires them with
+        # the in-flight consumers as blockers, and this round's group must
+        # be in that blocker set
         self._out_tasks.append(
             (_FutureGroup(out_futures + [seen_fut, blooms_fut]), out_caches)
         )
+        self._reap_outputs()  # release earlier rounds' completed groups
 
         # the round's seen-additions stay visible to later rounds' views
         # until BOTH merges cover them (plan over this round's cached
@@ -1506,8 +1548,10 @@ class CrawlEngine:
         if cfg.checkpoint_every and round_no % cfg.checkpoint_every == 0:
             self.checkpoint(round_no)  # async — overlaps the next round
         probed.unpersist()
-        # extracted/fetched are unpersisted by _drain_outputs once the
-        # output appends AND the background state merges complete
+        # extracted/fetched release via _reap_outputs/_drain_outputs once
+        # the output appends AND the background state merges complete
+        # (blocker-gated retire — later rounds' in-flight appends may
+        # still read them through an uncovered seen delta)
         return stats
 
     def run(self, seeds: list[str] | None = None, max_rounds: int = 10_000,

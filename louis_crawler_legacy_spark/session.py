@@ -93,8 +93,9 @@ _FAIR_XML: str | None = None
 
 
 def _fair_allocation_file() -> str:
-    """Write the two-pool FAIR allocation once per process (Spark only
-    accepts a file path for pool definitions)."""
+    """Write the three-pool FAIR allocation (default / background /
+    state) once per process (Spark only accepts a file path for pool
+    definitions)."""
     global _FAIR_XML
     if _FAIR_XML is None:
         import atexit

@@ -75,6 +75,17 @@ def fetch_url(url: str, timeout: float = DEFAULT_TIMEOUT,
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             body = resp.read()
+            # gzip payloads (sitemap.xml.gz per sitemaps.org, or a server
+            # that compressed despite us not sending Accept-Encoding):
+            # without this the charset decode mojibakes the bytes and the
+            # downstream XML/HTML parse silently yields nothing
+            if body[:2] == b"\x1f\x8b":
+                import gzip
+
+                try:
+                    body = gzip.decompress(body)
+                except OSError:
+                    pass  # truncated/corrupt — decode raw, parsers will flag
             charset = resp.headers.get_content_charset() or "utf-8"
             final = resp.geturl() or url
             return int(resp.status), body.decode(charset, errors="replace"), final

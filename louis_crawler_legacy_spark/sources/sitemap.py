@@ -29,19 +29,26 @@ from pyspark.sql import types as T
 
 _LOC_SCHEMA = T.StructType(
     [
+        # "page" | "sitemap" rows carry a discovered loc; "fetch_error" |
+        # "parse_error" rows carry loc=NULL and count one failed sitemap
+        # (source) — PERMISSIVE like the metadata scans, but VISIBLE: a
+        # site with no sitemap and a sitemap we failed to parse are
+        # different answers (VERDICT r04 "what's wrong" #4)
         T.StructField("loc", T.StringType()),
-        T.StructField("kind", T.StringType()),  # "page" | "sitemap"
+        T.StructField("kind", T.StringType()),
         T.StructField("source", T.StringType()),
     ]
 )
 
 
-def parse_sitemap(xml_text: str | None) -> tuple[list[str], list[str]]:
-    """→ (page_urls, nested_sitemap_urls). Namespace-agnostic: matches on
-    element localnames (urlset/url/loc vs sitemapindex/sitemap/loc).
-    Malformed or empty input → ([], [])."""
+def parse_sitemap_ex(
+    xml_text: str | None,
+) -> tuple[list[str], list[str], str | None]:
+    """→ (page_urls, nested_sitemap_urls, error). ``error`` is None on a
+    well-formed document (even an empty urlset) and "parse_error" when the
+    XML does not parse — callers surface the distinction as a metric."""
     if not xml_text:
-        return [], []
+        return [], [], None
     import xml.etree.ElementTree as ET
 
     def local(tag: str) -> str:
@@ -50,7 +57,7 @@ def parse_sitemap(xml_text: str | None) -> tuple[list[str], list[str]]:
     try:
         root = ET.fromstring(xml_text)
     except ET.ParseError:
-        return [], []
+        return [], [], "parse_error"
     is_index = local(root.tag) == "sitemapindex"
     pages: list[str] = []
     nested: list[str] = []
@@ -64,6 +71,13 @@ def parse_sitemap(xml_text: str | None) -> tuple[list[str], list[str]]:
                     nested.append(loc)
                 else:
                     pages.append(loc)
+    return pages, nested, None
+
+
+def parse_sitemap(xml_text: str | None) -> tuple[list[str], list[str]]:
+    """→ (page_urls, nested_sitemap_urls); malformed input → ([], []).
+    Use parse_sitemap_ex to distinguish malformed from empty."""
+    pages, nested, _ = parse_sitemap_ex(xml_text)
     return pages, nested
 
 
@@ -83,7 +97,12 @@ def _fetch_and_parse(sitemap_df: DataFrame, timeout: float) -> DataFrame:
             ):
                 ok = status is not None and not pd.isna(status) \
                     and int(status) < 400
-                pages, nested = parse_sitemap(body if ok else None)
+                if not ok:
+                    rows.append((None, "fetch_error", url))
+                    continue
+                pages, nested, err = parse_sitemap_ex(body)
+                if err is not None:
+                    rows.append((None, err, url))
                 rows.extend((p, "page", url) for p in pages)
                 rows.extend((n, "sitemap", url) for n in nested)
             yield pd.DataFrame(rows, columns=["loc", "kind", "source"])
@@ -95,40 +114,56 @@ def sitemap_seeds(
     robots_table: DataFrame,
     timeout: float = 30.0,
     max_index_depth: int = 2,
-) -> DataFrame:
+    return_stats: bool = False,
+):
     """Warehouse robots table (host, …, sitemaps array<string>) → distinct
     page-URL seeds from every advertised sitemap, following
     ``<sitemapindex>`` hops up to ``max_index_depth`` levels. Returns a
     one-column (url) DataFrame — feed ``.collect()`` into
-    ``CrawlEngine.run(seeds=...)`` (seeds are driver-side by contract)."""
+    ``CrawlEngine.run(seeds=...)`` (seeds are driver-side by contract).
+    With ``return_stats=True`` returns (urls_df, stats_df) where stats_df
+    is (source, kind) — one row per sitemap url that failed to fetch
+    (``fetch_error``) or parse (``parse_error``), so zero seeds from a
+    failing sitemap is distinguishable from a genuinely empty one."""
     frontier = (
         robots_table.select(F.explode("sitemaps").alias("url")).distinct()
     )
-    return sitemap_seeds_from_urls(frontier, timeout, max_index_depth)
+    return sitemap_seeds_from_urls(
+        frontier, timeout, max_index_depth, return_stats
+    )
 
 
 def sitemap_seeds_from_urls(
     sitemap_df: DataFrame,
     timeout: float = 30.0,
     max_index_depth: int = 2,
-) -> DataFrame:
+    return_stats: bool = False,
+):
     """Same, from an explicit (url) DataFrame of sitemap locations."""
     spark = sitemap_df.sparkSession
     pages = None
+    errors = None
     frontier = sitemap_df.select("url").distinct()
     seen_maps = frontier  # never refetch a sitemap url (index cycles)
     for _ in range(max_index_depth):
         if frontier.isEmpty():
             break
         parsed = _fetch_and_parse(frontier, timeout).cache()
-        # localCheckpoint BOTH outputs before releasing the fetch cache:
-        # the returned lazy df must never re-trigger the network fetch on
+        # localCheckpoint ALL outputs before releasing the fetch cache:
+        # the returned lazy dfs must never re-trigger the network fetch on
         # a later action
         level_pages = parsed.filter(F.col("kind") == "page").select(
             F.col("loc").alias("url")
         ).localCheckpoint()
         pages = (
             level_pages if pages is None else pages.unionByName(level_pages)
+        )
+        level_errors = parsed.filter(
+            F.col("kind").isin("fetch_error", "parse_error")
+        ).select("source", "kind").localCheckpoint()
+        errors = (
+            level_errors if errors is None
+            else errors.unionByName(level_errors)
         )
         frontier = (
             parsed.filter(F.col("kind") == "sitemap")
@@ -139,7 +174,16 @@ def sitemap_seeds_from_urls(
         seen_maps = seen_maps.unionByName(frontier).localCheckpoint()
         parsed.unpersist()
     if pages is None:
-        return spark.createDataFrame([], T.StructType(
+        pages = spark.createDataFrame([], T.StructType(
             [T.StructField("url", T.StringType())]
         ))
-    return pages.distinct()
+    else:
+        pages = pages.distinct()
+    if not return_stats:
+        return pages
+    if errors is None:
+        errors = spark.createDataFrame([], T.StructType(
+            [T.StructField("source", T.StringType()),
+             T.StructField("kind", T.StringType())]
+        ))
+    return pages, errors

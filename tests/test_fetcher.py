@@ -99,7 +99,7 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             return
         status, body = PAGES.get(self.path, (404, "missing"))
-        data = body.encode()
+        data = body if isinstance(body, bytes) else body.encode()
         self.send_response(status)
         self.send_header("Content-Type", "text/html; charset=utf-8")
         self.send_header("Content-Length", str(len(data)))
@@ -574,6 +574,92 @@ def test_sitemap_seeds_live_index_recursion(spark, server):
     finally:
         for path in SITEMAPS:
             PAGES.pop(path, None)
+
+
+def test_sitemap_gzip_and_parse_failure_stats(spark, server):
+    """sitemaps.org allows sitemap.xml.gz: gzipped payloads (plain AND
+    index) must yield the same seeds as their uncompressed twins (the old
+    text-decode path mojibaked the bytes → silent zero seeds), and
+    return_stats surfaces fetch/parse failures so 'site has no sitemap'
+    and 'we failed to parse it' are distinguishable."""
+    import gzip
+
+    from louis_crawler_legacy_spark.sources.sitemap import (
+        sitemap_seeds_from_urls,
+    )
+
+    gz_pages = {
+        "/gzindex.xml.gz": gzip.compress(
+            (
+                "<sitemapindex>"
+                f"<sitemap><loc>{server}/gz1.xml.gz</loc></sitemap>"
+                f"<sitemap><loc>{server}/plain.xml</loc></sitemap>"
+                "</sitemapindex>"
+            ).encode()
+        ),
+        "/gz1.xml.gz": gzip.compress(
+            (
+                "<urlset>"
+                f"<url><loc>{server}/page/0</loc></url>"
+                f"<url><loc>{server}/page/1</loc></url>"
+                "</urlset>"
+            ).encode()
+        ),
+        "/plain.xml": (
+            f"<urlset><url><loc>{server}/canonical</loc></url></urlset>"
+        ),
+        "/broken.xml": "definitely <<< not xml",
+    }
+    for path, body in gz_pages.items():
+        PAGES[path] = (200, body)
+    try:
+        got = sitemap_seeds_from_urls(
+            spark.createDataFrame([(f"{server}/gzindex.xml.gz",)], ["url"]),
+            timeout=5.0,
+        )
+        assert sorted(r.url for r in got.collect()) == sorted(
+            [f"{server}/page/0", f"{server}/page/1", f"{server}/canonical"]
+        )
+        # failure visibility: one malformed + one unreachable sitemap →
+        # two stats rows, zero seeds from those sources
+        seeds, stats = sitemap_seeds_from_urls(
+            spark.createDataFrame(
+                [(f"{server}/broken.xml",), (f"{server}/gone.xml",),
+                 (f"{server}/plain.xml",)],
+                ["url"],
+            ),
+            timeout=5.0,
+            return_stats=True,
+        )
+        assert sorted(r.url for r in seeds.collect()) == [
+            f"{server}/canonical"
+        ]
+        got_stats = {(r.source, r.kind) for r in stats.collect()}
+        assert got_stats == {
+            (f"{server}/broken.xml", "parse_error"),
+            (f"{server}/gone.xml", "fetch_error"),
+        }
+    finally:
+        for path in gz_pages:
+            PAGES.pop(path, None)
+
+
+def test_fetch_url_gunzips_magic_payload(server):
+    """fetch_url sniffs the gzip magic and decompresses before the charset
+    decode — a .gz body comes back as clean text, a corrupt one falls back
+    to the raw (replaced) decode without raising."""
+    import gzip
+
+    PAGES["/blob.gz"] = (200, gzip.compress(b"<urlset>clean text</urlset>"))
+    PAGES["/corrupt.gz"] = (200, b"\x1f\x8b\x00corrupt-not-gzip")
+    try:
+        status, html, _ = fetch_url(f"{server}/blob.gz", timeout=5)
+        assert status == 200 and html == "<urlset>clean text</urlset>"
+        status, html, _ = fetch_url(f"{server}/corrupt.gz", timeout=5)
+        assert status == 200 and html is not None  # no raise, raw decode
+    finally:
+        PAGES.pop("/blob.gz", None)
+        PAGES.pop("/corrupt.gz", None)
 
 
 def test_robots_ttl_refetches_and_applies_new_rules(spark, tmp_path):

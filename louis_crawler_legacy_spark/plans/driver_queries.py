@@ -549,16 +549,31 @@ _ROBOTS_URLS = [
 ]
 
 
-def _robots_oracle() -> str:
-    from louis_crawler_legacy_spark.operators.politeness import (
-        robots_blocked_py,
-    )
-    from louis_crawler_legacy_spark.operators.robots import robots_map
+# expected verdict per _ROBOTS_URLS entry, HAND-DERIVED from RFC 9309
+# (not generated by the Python twin: a shared bug in the
+# normalize_rules/pattern_regex fold both evaluators use would slip
+# through a twin-generated oracle — r4 ADVICE). Order matches
+# _ROBOTS_URLS. Derivations: a.example '/'→blocked (only 'Disallow:/'
+# matches), '/public/…'→Allow out-lengths it, '/publicx' does NOT start
+# with '/public/'→blocked; b.example anchors ('$' defeated by a query
+# string), '*' wildcards, longest-match, equal-length tie→Allow wins,
+# '/search' without the query matches nothing; c.example: the 'louis'
+# group does not match this crawler's product token so the '*' group
+# applies (/everyone/ blocked, /only-louis/ not); d (empty robots.txt)
+# and e (no robots entry) allow everything.
+_ROBOTS_EXPECTED = [
+    True, False, False, True, True,          # a.example
+    True, False, False, True, True, False,   # b.example (pdf/private/search)
+    True, False,                              # b.example (wildcard pdf, tie)
+    True, False,                              # c.example
+    False, False,                             # d.example, e.example
+]
 
-    m = robots_map(_ROBOTS_BODIES)
+
+def _robots_oracle() -> str:
     rows = ", ".join(
-        f"('{u}', {'TRUE' if robots_blocked_py(u, m) else 'FALSE'})"
-        for u in _ROBOTS_URLS
+        f"('{u}', {'TRUE' if blocked else 'FALSE'})"
+        for u, blocked in zip(_ROBOTS_URLS, _ROBOTS_EXPECTED, strict=True)
     )
     return f"""
     SELECT c0 AS url, CAST(c1 AS BOOLEAN) AS blocked

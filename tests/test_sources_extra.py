@@ -75,6 +75,23 @@ def test_robots_end_to_end_filtering():
     assert robots_blocked_py("http://x.ca/tmp123", m)  # prefix semantics
 
 
+def test_robots_twin_agrees_with_hand_derived_rfc_table():
+    """The r1_robots_rfc driver-gate oracle is a HAND-DERIVED literal
+    table (so it is independent of the evaluators); this pins the Python
+    twin to it — a regression in the shared normalize_rules/pattern_regex
+    fold now fails here even before the Spark gate runs."""
+    from louis_crawler_legacy_spark.operators.politeness import robots_blocked_py
+    from louis_crawler_legacy_spark.plans.driver_queries import (
+        _ROBOTS_BODIES,
+        _ROBOTS_EXPECTED,
+        _ROBOTS_URLS,
+    )
+
+    m = robots_mod.robots_map(_ROBOTS_BODIES)
+    got = [robots_blocked_py(u, m) for u in _ROBOTS_URLS]
+    assert got == _ROBOTS_EXPECTED
+
+
 def test_spark_submit_cli(tmp_path):
     """Drive scripts/run_crawl.py the way spark-submit would (python -m
     equivalent: the script builds its own session)."""

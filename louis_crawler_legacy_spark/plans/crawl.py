@@ -124,6 +124,19 @@ ROBOTS_TABLE_SCHEMA = T.StructType(
     ]
 )
 
+# per-host crawl state persisted across rounds (http mode): the learned
+# AutoThrottle interval — the reference's per-host delay state lives for
+# the crawl's lifetime (Scrapy AutoThrottle, settings.py:71-78), so a
+# persistently slow host stays backed off across round boundaries instead
+# of being re-probed at throttle_start_delay every round
+HOST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("throttle_delay", T.DoubleType()),
+        T.StructField("updated_round", T.IntegerType()),
+    ]
+)
+
 METRICS_SCHEMA = T.StructType(
     [
         T.StructField("round", T.IntegerType()),
@@ -215,6 +228,9 @@ class CrawlConfig:
     adaptive_throttle: bool = False
     throttle_start_delay: float = 5.0  # AUTOTHROTTLE_START_DELAY
     throttle_max_delay: float = 60.0  # AUTOTHROTTLE_MAX_DELAY
+    # AUTOTHROTTLE_TARGET_CONCURRENCY: intervals converge toward
+    # latency / this (Scrapy's knob; 1.0 = one in-flight request's worth)
+    throttle_target_concurrency: float = 1.0
     # render seam (http mode): (url, html) -> html applied inside the fetch
     # task. The reference renders in Chromium via Playwright
     # (playwright_middleware.py:104-137) — not runnable here, so JS
@@ -239,6 +255,15 @@ class CrawlConfig:
     # recrawl path for those.) The RFC's own cacheability guidance is
     # 24 h (§2.4) — rounds are the engine's clock.
     robots_ttl_rounds: int | None = None
+    # driver-side robots host-cache bound (fetch_robots mode): the
+    # host → fetched_round map that lets a round with no new/stale hosts
+    # skip the robots job is an LRU capped at this many entries — at the
+    # engine's 10^10-URL design point distinct hosts reach 10^7-10^8 and
+    # an unbounded dict is multi-GB of driver heap (r4 verdict,
+    # scale-robustness flag). Hosts evicted (or never cached) resolve
+    # through ONE O(batch-hosts) broadcast lookup against the warehouse
+    # robots table — never refetched from the network.
+    robots_host_cache_size: int = 100_000
     # broadcast the batch into the corpus scan (right while batches fit the
     # broadcast budget — the html column never shuffles). At 10^7-row
     # production batches the broadcast is GB-scale: set False to let
@@ -333,6 +358,7 @@ class CrawlEngine:
         )
         self.blooms = self.wh.table("seen_bloom", bloom_mod.BLOOM_SCHEMA)
         self.robots_table = self.wh.table("robots", ROBOTS_TABLE_SCHEMA)
+        self.host_state = self.wh.table("host_state", HOST_STATE_SCHEMA)
         if self.config.seen_filter == "cuckoo":
             from louis_crawler_legacy_spark.operators import cuckoo as cuckoo_mod
 
@@ -368,14 +394,16 @@ class CrawlEngine:
         self._state_parts = max(
             self.config.num_partitions, spark.sparkContext.defaultParallelism
         )
-        # host → fetched_round for robots.txt rules already in the
+        # host → fetched_round LRU for robots.txt rules already in the
         # warehouse robots table (fetch_robots mode) — lets a round with
         # no new/stale hosts skip the robots job entirely with ZERO Spark
-        # actions, and drives the robots_ttl_rounds refresh. Bounded by
-        # distinct hosts ever crawled (the reference keeps per-host
-        # AutoThrottle state driver-side the same way); invalidated on
-        # rollback.
-        self._robots_hosts: dict[str, int] | None = None
+        # actions, and drives the robots_ttl_rounds refresh. Bounded at
+        # config.robots_host_cache_size (O(1) driver memory regardless of
+        # crawl breadth — the unbounded r4 dict was flagged as a
+        # scale-killer); cold/evicted hosts fall back to a per-round
+        # O(batch-hosts) warehouse lookup in _apply_robots. Invalidated
+        # on rollback.
+        self._robots_hosts: "OrderedDict[str, int] | None" = None
         self.robots_df = None
         if self.config.robots:
             from louis_crawler_legacy_spark.operators.robots import rules_df
@@ -475,8 +503,8 @@ class CrawlEngine:
         captured). Anything submitted later reads the newer state, so the
         blocker set is fixed and finite — release cannot starve. (A
         checkpoint submit cannot interleave with a retirement: retiring
-        happens only in _advance and both it and checkpoint() execute on
-        the driver thread.)"""
+        happens only on the driver thread — _advance, _drain_handoff,
+        _reap_outputs — the same thread checkpoint() runs on.)"""
         blockers = [t[0] for t in self._out_tasks]
         ckpt = self._ckpt_future
         if ckpt is not None and not ckpt.done():
@@ -485,6 +513,22 @@ class CrawlEngine:
             self._retired_state.append(
                 (df, [b for b in blockers if not b.done()])
             )
+
+    @staticmethod
+    def _chain_result(entry: tuple) -> DataFrame:
+        """Resolve one merge-chain entry, labeling a failure with the
+        round it covered — the same broken future is reachable from
+        several call sites (round start, delta prune, _FutureGroup), so
+        without the label the re-raised traceback loses WHICH merge died
+        and reads as several distinct failures."""
+        fut, covered = entry
+        try:
+            return fut.result()
+        except Exception as e:
+            raise RuntimeError(
+                f"background state merge covering round {covered} failed: "
+                f"{e!r}"
+            ) from e
 
     def _advance(self, chain_attr: str, df_attr: str, thr_attr: str,
                  block_idx: int | None = None) -> None:
@@ -502,21 +546,21 @@ class CrawlEngine:
         if not chain:
             return
         if block_idx is not None:
-            chain[min(block_idx, len(chain) - 1)][0].result()
+            self._chain_result(chain[min(block_idx, len(chain) - 1)])
         newest = -1
         for i, (fut, _) in enumerate(chain):
             if fut.done():
                 newest = i
         if newest < 0:
             return
-        new_df = chain[newest][0].result()
+        new_df = self._chain_result(chain[newest])
         old = getattr(self, df_attr)
         setattr(self, df_attr, new_df)
         setattr(self, thr_attr, chain[newest][1])
         superseded = chain[:newest]
         del chain[: newest + 1]
-        for fut, _ in superseded:
-            df = fut.result()
+        for entry in superseded:
+            df = self._chain_result(entry)
             if df is not new_df and df is not old:
                 self._retire(df)
         if old is not None and old is not new_df:
@@ -866,18 +910,33 @@ class CrawlEngine:
             http_fetch,
         )
 
-        # driver-side known-host cache (host → fetched_round; bounded by
-        # distinct hosts ever crawled; seeded from the warehouse once, so
-        # resume still skips already-fetched hosts): a round whose batch
-        # hosts are all fresh costs ONE tiny job over the
-        # already-materialized batch — the old per-round anti-join + count
-        # against the robots table is gone. Only (host, scheme) pairs
-        # reach the driver, never URLs.
+        # driver-side known-host LRU (host → fetched_round, capped at
+        # config.robots_host_cache_size): a round whose batch hosts are
+        # all cache-hits costs ONE tiny job over the already-materialized
+        # batch. Hosts NOT in the cache (never crawled, evicted, or fresh
+        # after construction/rollback) resolve via one broadcast lookup
+        # against the warehouse robots table restricted to the batch's
+        # unknown hosts — O(batch), not O(distinct-hosts-ever), so resume
+        # still skips already-fetched hosts without the old full-table
+        # seed. Only (host, scheme) pairs reach the driver, never URLs.
+        from collections import OrderedDict
+
         ttl = self.config.robots_ttl_rounds
+        cap = self.config.robots_host_cache_size
         if self._robots_hosts is None:
-            self._robots_hosts = {}
+            self._robots_hosts = OrderedDict()
+
+        pairs = batch.groupBy("host").agg(
+            F.min(F.regexp_extract("url", r"^(https?://)", 1)).alias("scheme")
+        ).collect()
+        unknown = [p.host for p in pairs if p.host not in self._robots_hosts]
+        if unknown:
+            host_df = self.spark.createDataFrame(
+                [(h,) for h in unknown], ["host"]
+            )
             for r in (
                 self.robots_table.read()
+                .join(F.broadcast(host_df), "host")
                 .groupBy("host")
                 .agg(F.max("fetched_round").alias("fr"))
                 .collect()
@@ -888,11 +947,9 @@ class CrawlEngine:
             fr = self._robots_hosts.get(h)
             if fr is None:
                 return True
+            self._robots_hosts.move_to_end(h)  # LRU touch
             return ttl is not None and fr <= round_no - ttl
 
-        pairs = batch.groupBy("host").agg(
-            F.min(F.regexp_extract("url", r"^(https?://)", 1)).alias("scheme")
-        ).collect()
         new_pairs = [
             (p.scheme + p.host + "/robots.txt", p.host)
             for p in pairs
@@ -962,7 +1019,14 @@ class CrawlEngine:
                 self.robots_table.append(
                     rules, {"round": round_no, "op": "robots"}
                 )
-            self._robots_hosts.update({h: round_no for _, h in new_pairs})
+            for _, h in new_pairs:
+                self._robots_hosts[h] = round_no
+                self._robots_hosts.move_to_end(h)
+        # LRU bound: evict least-recently-used hosts past the cap — their
+        # rules stay in the warehouse table (the broadcast join below and
+        # the cold-host lookup above), so eviction never refetches
+        while len(self._robots_hosts) > cap:
+            self._robots_hosts.popitem(last=False)
         rules_all = self.robots_table.read()
         rb = F.broadcast(rules_all.select("host", "rules"))
         joined = batch.join(rb, "host", "left")
@@ -1038,9 +1102,17 @@ class CrawlEngine:
             from louis_crawler_legacy_spark.sources.fetcher import http_fetch
 
             fetch_in = fetch_batch
+            if cfg.adaptive_throttle:
+                # seed each host's AutoThrottle interval from the learned
+                # prior-round delay (host_state table) — broadcast join,
+                # NULL for unknown hosts → throttle_start_delay in-task
+                prior = self.host_state.read().select(
+                    "host", F.col("throttle_delay").alias("_seed_delay")
+                )
+                fetch_in = fetch_in.join(F.broadcast(prior), "host", "left")
             if cfg.host_min_interval > 0 or cfg.adaptive_throttle:
                 # one task must own each host's request spacing
-                fetch_in = fetch_batch.repartition(
+                fetch_in = fetch_in.repartition(
                     self.spark.sparkContext.defaultParallelism, "host"
                 )
             fetched_raw = http_fetch(
@@ -1050,7 +1122,10 @@ class CrawlEngine:
                 adaptive_throttle=cfg.adaptive_throttle,
                 throttle_start_delay=cfg.throttle_start_delay,
                 throttle_max_delay=cfg.throttle_max_delay,
+                throttle_target_concurrency=cfg.throttle_target_concurrency,
             )
+            if cfg.adaptive_throttle:
+                fetched_raw = fetched_raw.drop("_seed_delay")
             # canonicalize: the page lives under its POST-REDIRECT url
             # (link resolution, page identity, seen set); the requested url
             # rides along for seen bookkeeping + the requested→final edge
@@ -1113,6 +1188,30 @@ class CrawlEngine:
             robots_blocked.count() if robots_blocked is not None else 0
         )
         n_errored = n_batch - n_scraped - n_robots_blocked
+
+        if cfg.fetcher == "http" and cfg.adaptive_throttle:
+            # persist each host's learned AutoThrottle interval for the
+            # next round's seed join: last write per host wins (max_by on
+            # the per-task fetch_seq — each host lives in ONE task under
+            # the host repartition above). Synchronous and tiny (one job
+            # over the already-materialized fetched cache, ≤hosts rows):
+            # round k+1's seed join MUST see round k's delays, and the
+            # per-table commit lock makes no ordering promise for a
+            # background upsert racing the next round's read.
+            learned = (
+                fetched.filter(F.col("throttle_delay").isNotNull())
+                .groupBy("host")
+                .agg(
+                    F.max_by("throttle_delay", "fetch_seq").alias(
+                        "throttle_delay"
+                    )
+                )
+                .withColumn("updated_round", F.lit(round_no))
+            )
+            self.host_state.upsert(
+                learned.localCheckpoint(), key="host",
+                meta={"round": round_no, "op": "throttle"},
+            )
 
         # S7: pages upsert (MERGE by url)
         page_rows = pages_src.select(
@@ -1698,7 +1797,7 @@ class CrawlEngine:
         self._drain_outputs()
         for table in (self.frontier, self.seen, self.pages, self.links,
                       self.metrics, self.blooms, self.documents,
-                      self.robots_table):
+                      self.robots_table, self.host_state):
             target = 0
             for h in table.history():
                 if h["meta"].get("round", -1) <= round_no:

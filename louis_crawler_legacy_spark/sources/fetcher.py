@@ -117,28 +117,48 @@ def http_fetch(batch: DataFrame, timeout: float = DEFAULT_TIMEOUT,
                throttle_max_delay: float = 60.0,
                throttle_target_concurrency: float = 1.0) -> DataFrame:
     """batch(url, host, …passthrough) → + status int, html string,
-    final_url string.
+    final_url string; with ``adaptive_throttle`` also + throttle_delay
+    double (the host's AutoThrottle interval AFTER this row's response)
+    and fetch_seq long (per-task processing order — ``max_by(
+    throttle_delay, fetch_seq)`` per host is the final learned delay,
+    well-defined because a host-partitioned batch gives each host ONE
+    task).
 
     Same output schema as the corpus fetch-join (plus final_url) so the
     rest of the round pipeline is fetcher-agnostic. With pacing off the
     batch arrives range-partitioned from select_batch (tasks fetch
     disjoint URL slices in parallel); with pacing on crawl.py partitions
-    it by host so one task owns each host's request spacing."""
-    schema = T.StructType(
+    it by host so one task owns each host's request spacing.
+
+    AutoThrottle state persistence: the reference's per-host delays live
+    for the crawl's LIFETIME (Scrapy AutoThrottle; settings.py:71-78),
+    not one batch — a ``_seed_delay`` double column in ``batch`` (NULL =
+    unknown host) initializes each host's interval, and the emitted
+    throttle_delay column lets the caller persist the learned value
+    across rounds (crawl.py host_state table). Without the seam every
+    round restarted slow hosts at throttle_start_delay."""
+    schema_fields = (
         list(batch.schema.fields)
         + [T.StructField("status", T.IntegerType()),
            T.StructField("html", T.StringType()),
            T.StructField("final_url", T.StringType())]
     )
+    if adaptive_throttle:
+        schema_fields += [
+            T.StructField("throttle_delay", T.DoubleType()),
+            T.StructField("fetch_seq", T.LongType()),
+        ]
+    schema = T.StructType(schema_fields)
 
     pacing = host_min_interval > 0 or adaptive_throttle
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         last_hit: dict[str, float] = {}  # host → last request timestamp
         # host → current adaptive interval (AutoThrottle state; floor is
-        # host_min_interval, start throttle_start_delay, cap
-        # throttle_max_delay)
+        # host_min_interval, start throttle_start_delay — or the seeded
+        # prior-round delay — cap throttle_max_delay)
         delays: dict[str, float] = {}
+        fetch_seq = 0  # per-task processing order, across pdf batches
         for pdf in batches:
             order = (
                 _paced_order(pdf["host"])
@@ -148,16 +168,26 @@ def http_fetch(batch: DataFrame, timeout: float = DEFAULT_TIMEOUT,
             results: list[tuple] = [None] * len(pdf)  # type: ignore[list-item]
             urls = pdf["url"].tolist()
             hosts = pdf["host"].tolist() if "host" in pdf else urls
+            seeds = (
+                pdf["_seed_delay"].tolist() if "_seed_delay" in pdf else None
+            )
+            throttle_out = [None] * len(pdf)
+            seq_out = [None] * len(pdf)
             for i in order:
                 if pacing:
-                    interval = (
-                        delays.setdefault(
-                            hosts[i],
-                            max(throttle_start_delay, host_min_interval),
-                        )
-                        if adaptive_throttle
-                        else host_min_interval
-                    )
+                    if adaptive_throttle:
+                        if hosts[i] not in delays:
+                            seed = seeds[i] if seeds is not None else None
+                            delays[hosts[i]] = (
+                                float(seed)
+                                if seed is not None and not pd.isna(seed)
+                                else max(
+                                    throttle_start_delay, host_min_interval
+                                )
+                            )
+                        interval = delays[hosts[i]]
+                    else:
+                        interval = host_min_interval
                     wait = last_hit.get(hosts[i], -1e18) + interval \
                         - time.monotonic()
                     if wait > 0:
@@ -177,6 +207,9 @@ def http_fetch(batch: DataFrame, timeout: float = DEFAULT_TIMEOUT,
                     delays[hosts[i]] = min(
                         max(new, host_min_interval), throttle_max_delay
                     )
+                    throttle_out[i] = delays[hosts[i]]
+                    seq_out[i] = fetch_seq
+                    fetch_seq += 1
                 if renderer is not None and html is not None:
                     html = renderer(final, html)
                 results[i] = (status, html, final)
@@ -184,6 +217,11 @@ def http_fetch(batch: DataFrame, timeout: float = DEFAULT_TIMEOUT,
             out["status"] = pd.array([r[0] for r in results], dtype="Int32")
             out["html"] = [r[1] for r in results]
             out["final_url"] = [r[2] for r in results]
+            if adaptive_throttle:
+                out["throttle_delay"] = pd.array(
+                    throttle_out, dtype="Float64"
+                )
+                out["fetch_seq"] = pd.array(seq_out, dtype="Int64")
             yield out
 
     return batch.mapInPandas(gen, schema=schema)

@@ -432,6 +432,46 @@ def test_adaptive_throttle_crawl_results_unchanged(spark, server, tmp_path):
     assert seen[f"{server}/page/2"] == "errored"
 
 
+def test_adaptive_throttle_delay_persists_across_rounds(
+    spark, server, tmp_path
+):
+    """The learned per-host AutoThrottle interval survives a round
+    boundary (host_state table): after a round against a slow host, the
+    NEXT round's first same-host gap is spaced at the learned delay, not
+    throttle_start_delay — the reference's AutoThrottle state lives for
+    the crawl's lifetime, not one batch."""
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(
+        max_depth=0, batch_size=8, num_partitions=2, bloom_capacity=1_000,
+        fetcher="http", fetch_timeout=5.0,
+        adaptive_throttle=True, throttle_start_delay=0.01,
+        throttle_max_delay=2.0, throttle_target_concurrency=0.4,
+    )
+    eng = CrawlEngine(spark, corpus=None, warehouse_dir=str(tmp_path / "wh"),
+                      config=cfg)
+    # round 1: 5 slow urls (latency ~0.3 s, target 0.3/0.4 = 0.75 s) —
+    # the interval climbs 0.01 → ~0.38 → ~0.57 → ~0.66 → ~0.70
+    eng.run(seeds=[f"{server}/slow/p{i}" for i in range(5)], max_rounds=1)
+    host = f"{server}".split("/")[2]
+    hs = {r.host: r.throttle_delay for r in eng.host_state.read().collect()}
+    assert hs[host] > 0.5, hs  # learned delay persisted
+    # round 2, fresh batch: the FIRST same-host gap must already be the
+    # learned interval (a per-round restart would give ~0.38 = one
+    # adjustment from start_delay after request 1)
+    _Handler.request_log.clear()
+    eng.run(seeds=[f"{server}/slow/q1", f"{server}/slow/q2"],
+            max_rounds=1, start_round=2)
+    ts = sorted(t for t, p in _Handler.request_log if p.startswith("/slow/q"))
+    assert len(ts) == 2
+    assert ts[1] - ts[0] > 0.55, f"round-2 gap forgot the learned delay: {ts[1] - ts[0]:.3f}"
+    # crawl results unchanged by the persistence
+    pages = {r.url for r in eng.pages.read().collect()}
+    assert pages == {f"{server}/slow/p{i}" for i in range(5)} | {
+        f"{server}/slow/q1", f"{server}/slow/q2"
+    }
+
+
 def test_parse_robots_sitemaps_collected():
     from louis_crawler_legacy_spark.operators.robots import parse_robots_txt
 
@@ -574,6 +614,80 @@ def test_sitemap_seeds_live_index_recursion(spark, server):
     finally:
         for path in SITEMAPS:
             PAGES.pop(path, None)
+
+
+def test_robots_host_cache_lru_bounded_with_warehouse_fallback(
+    spark, tmp_path
+):
+    """The driver-side robots host cache is an LRU capped at
+    robots_host_cache_size — O(1) driver memory regardless of crawl
+    breadth (the r4 unbounded dict was flagged as a scale-killer). An
+    EVICTED host resolves through the warehouse robots table: its rules
+    still apply and /robots.txt is never refetched."""
+    import threading as _threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    log: list[tuple[str, str]] = []  # (host, path)
+
+    def make_handler(port_box):
+        class Srv(BaseHTTPRequestHandler):
+            def do_GET(self):
+                log.append((f"127.0.0.1:{port_box[0]}", self.path))
+                if self.path == "/robots.txt":
+                    body = b"User-agent: *\nDisallow: /private/\n"
+                else:
+                    body = (
+                        b"<html><head><title>P</title></head><body><main>"
+                        b"<p>page</p></main></body></html>"
+                    )
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        return Srv
+
+    servers, bases = [], []
+    for _ in range(4):
+        box = [0]
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(box))
+        box[0] = srv.server_address[1]
+        _threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append(srv)
+        bases.append(f"http://127.0.0.1:{box[0]}")
+    try:
+        cfg = CrawlConfig(
+            max_depth=0, batch_size=8, num_partitions=2, bloom_capacity=1_000,
+            fetcher="http", fetch_timeout=5.0, fetch_robots=True,
+            robots_host_cache_size=2,
+        )
+        eng = CrawlEngine(spark, corpus=None,
+                          warehouse_dir=str(tmp_path / "wh"), config=cfg)
+        # round 1: all four hosts → one robots fetch each, cache capped
+        eng.run(seeds=[f"{b}/a" for b in bases], max_rounds=1)
+        robots_reqs = [h for h, p in log if p == "/robots.txt"]
+        assert sorted(robots_reqs) == sorted(b.split("//")[1] for b in bases)
+        assert len(eng._robots_hosts) <= 2  # LRU bound held
+        # round 2: revisit host 0 (evicted) — warehouse fallback supplies
+        # its fetched_round AND its rules: no robots refetch, and a
+        # /private/ url is still blocked
+        eng.run(
+            seeds=[f"{bases[0]}/b", f"{bases[0]}/private/x"],
+            max_rounds=1, start_round=2,
+        )
+        assert [h for h, p in log if p == "/robots.txt"] == robots_reqs
+        seen = {r.url: r.status for r in eng.seen.read().collect()}
+        assert seen[f"{bases[0]}/b"] == "scraped"
+        assert seen[f"{bases[0]}/private/x"] == "robots_blocked"
+        assert len(eng._robots_hosts) <= 2
+    finally:
+        for srv in servers:
+            srv.shutdown()
 
 
 def test_sitemap_gzip_and_parse_failure_stats(spark, server):

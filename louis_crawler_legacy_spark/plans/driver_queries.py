@@ -403,7 +403,50 @@ def _docs_as_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_chunk_documents")  # rows-only
+def _docs_as_html_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_docs_as_html plus two deterministic child links per page (a plain
+    link and a .pdf) so the span pipeline exercises all three span kinds
+    (text/link/media) under an exact oracle."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    sid = F.col("doc_id").cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>doc "), sid,
+            F.lit("</title></head><body>\n<h1>Doc "), sid,
+            F.lit("</h1>\n<p>"), F.col("text"), F.lit("</p>\n"),
+            F.lit('<a href="/next/'), sid, F.lit('">next</a>\n'),
+            F.lit('<a href="/files/'), sid, F.lit('.pdf">pdf</a>\n'),
+            F.lit("</body></html>"),
+        ).alias("html"),
+        F.concat(F.lit("http://corpus.local/doc/"), sid).alias("url"),
+    )
+
+
+# EXACT oracle (was rows-only through r4): the driver corpus's docs are
+# all < 256 tokens (max 101 at sf0.01/0.1), so every page is in the
+# chunker's single-chunk parent-climb regime — chunk_idx 0, title = the
+# <title> text, token_count = the StableHashEncoder mass of the cleaned
+# content 'Doc {id} {text}' (the p1b formula; ceil(len/8) per regex
+# piece). A ≥256-token doc would mismatch LOUDLY (different title or
+# multiple rows), so the regime assumption is itself gated. Multi-chunk
+# (>512) semantics stay pinned by tests/test_chunking.py's 20 tests +
+# ported reference goldens, and their per-doc conserved mass by p1b.
+@query(
+    "x_chunk_documents",
+    """
+    SELECT doc_id, CAST(0 AS INTEGER) AS chunk_idx,
+           concat('doc ', CAST(doc_id AS VARCHAR)) AS title,
+           CAST(list_sum(list_transform(
+             regexp_extract_all(
+               concat('Doc ', CAST(doc_id AS VARCHAR), ' ', text),
+               '[A-Za-z0-9]+|[^\\sA-Za-z0-9]'),
+             p -> CAST(ceil(len(p) / 8.0) AS BIGINT))) AS INTEGER)
+             AS token_count
+    FROM documents
+    """,
+)
 def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from louis_crawler_legacy_spark.operators.chunking import chunk_documents
 
@@ -412,11 +455,37 @@ def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_doc_spans")  # rows-only
+# EXACT oracle (was rows-only through r4): with the linked input every
+# page yields exactly (text, link, media) spans in order — the text span
+# is the cleaned content 'Doc {id} {text} next pdf' (inline anchor text
+# joins the content, the single-chunk regime applies as in
+# x_chunk_documents), the link/media spans carry the base-resolved hrefs.
+# Pins parse → clean → chunk → span assembly → explode end-to-end.
+@query(
+    "x_doc_spans",
+    """
+    SELECT doc_id, 'text' AS kind,
+           concat('Doc ', CAST(doc_id AS VARCHAR), ' ', text, ' next pdf')
+             AS text,
+           CAST(NULL AS VARCHAR) AS media_ref, CAST(0 AS INTEGER) AS "offset"
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'link', CAST(NULL AS VARCHAR),
+           concat('http://corpus.local/next/', CAST(doc_id AS VARCHAR)),
+           CAST(1 AS INTEGER)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'media', CAST(NULL AS VARCHAR),
+           concat('http://corpus.local/files/', CAST(doc_id AS VARCHAR),
+                  '.pdf'),
+           CAST(2 AS INTEGER)
+    FROM documents
+    """,
+)
 def x_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from louis_crawler_legacy_spark.operators.spans import docs_to_spans, explode_spans
 
-    return explode_spans(docs_to_spans(_docs_as_html(spark, sf_dir)))
+    return explode_spans(docs_to_spans(_docs_as_html_linked(spark, sf_dir)))
 
 
 def _frontier_oracle() -> str:

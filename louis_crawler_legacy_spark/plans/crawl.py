@@ -1171,13 +1171,26 @@ class CrawlEngine:
         # exchange in the oracle-equivalence path).
         if cfg.fetcher == "http":
             first_w = Window.partitionBy("url").orderBy("batch_seq")
-            pages_src = (
+            first_per_url = (
                 extracted.withColumn("_rn", F.row_number().over(first_w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
-                .join(self._seen_view().select("url"), "url", "left_anti")
-                .cache()
             )
+            if cfg.broadcast_batch:
+                # same state-never-moves shape as the candidate dedup: the
+                # page urls are ≤ batch — semi the seen view against their
+                # broadcast, anti the (small) hit set back out
+                seen_hits = self._seen_view().join(
+                    F.broadcast(first_per_url.select("url")),
+                    "url", "left_semi",
+                ).select("url")
+                pages_src = first_per_url.join(
+                    F.broadcast(seen_hits), "url", "left_anti"
+                ).cache()
+            else:
+                pages_src = first_per_url.join(
+                    self._seen_view().select("url"), "url", "left_anti"
+                ).cache()
         else:
             pages_src = extracted
         _mark("fetch+extract")
@@ -1346,8 +1359,18 @@ class CrawlEngine:
                     ).alias("_s")
                 )
                 .select("url", "_s.*")
-                .join(self._seen_view().select("url"), "url", "left_anti")
             )
+            if cfg.broadcast_batch:
+                add_hits = self._seen_view().join(
+                    F.broadcast(seen_add.select("url")), "url", "left_semi"
+                ).select("url")
+                seen_add = seen_add.join(
+                    F.broadcast(add_hits), "url", "left_anti"
+                )
+            else:
+                seen_add = seen_add.join(
+                    self._seen_view().select("url"), "url", "left_anti"
+                )
         # localCheckpoint: materialize AND truncate the logical plan —
         # without it the state lineage grows every round and Catalyst
         # re-analysis goes exponential (the classic iterative-job trap).
@@ -1479,21 +1502,45 @@ class CrawlEngine:
         # not-yet-merged recent round — counts as definitively-new here
         # and is removed by the exclusion anti-join below)
         n_bloom_hits = maybe.count() if cfg.detailed_metrics else -1
-        confirmed_new = maybe.join(
-            self._seen_view().select(F.col("url").alias("cand_url")),
-            "cand_url",
-            "left_anti",
-        )
+        if cfg.broadcast_batch:
+            # small-round regime (broadcast_batch, the same knob that
+            # broadcasts the batch into the corpus): the seen STATE must
+            # never shuffle — a plain left-anti exchanges BOTH sides on
+            # url, moving the ever-growing state cross-JVM every round.
+            # Instead stream the state in place against the broadcast
+            # bloom-hit set (semi — output is the small matched-url set),
+            # then anti the hits back out of `maybe` with a second
+            # broadcast. Two broadcast joins, zero Exchange, state scanned
+            # where it is cached. (At 10^7-row production batches the hit
+            # set outgrows the broadcast budget — broadcast_batch=False
+            # keeps the shuffled anti-join, and the blob/seen tables ride
+            # the bucketed layout instead; PLANS.md multi-executor note.)
+            hit_urls = self._seen_view().join(
+                F.broadcast(maybe.select(F.col("cand_url").alias("url"))),
+                "url", "left_semi",
+            ).select(F.col("url").alias("cand_url"))
+            confirmed_new = maybe.join(
+                F.broadcast(hit_urls), "cand_url", "left_anti"
+            )
+        else:
+            confirmed_new = maybe.join(
+                self._seen_view().select(F.col("url").alias("cand_url")),
+                "cand_url",
+                "left_anti",
+            )
         # base-blob misses are definitively-new ONLY w.r.t. the rounds the
         # materialized filter covers — exclude the uncovered rounds' url
         # sets (normally none; one per lagging merge round, each ≤ batch
         # size) together with this round's own batch, in one anti-join
+        # (broadcast in the small-round regime: ≤ batch + lag·batch urls)
         exclude = batch.select("url")
         for d in self._bloom_uncovered():
             exclude = exclude.unionByName(d)
+        exclude = exclude.select(F.col("url").alias("cand_url"))
+        if cfg.broadcast_batch:
+            exclude = F.broadcast(exclude)
         new_cand = definitely_new.unionByName(confirmed_new).join(
-            exclude.select(F.col("url").alias("cand_url")), "cand_url",
-            "left_anti",
+            exclude, "cand_url", "left_anti",
         )
         if cfg.fetcher == "http":
             # redirects make this round's seen additions a superset of the
@@ -1501,26 +1548,53 @@ class CrawlEngine:
             # batch url — a same-round candidate link to it must not enter
             # the frontier (it would cost one wasted refetch next round).
             # Corpus mode has extracted.url ⊆ batch.url, so this join would
-            # be pure overhead there.
-            new_cand = new_cand.join(
-                extracted.select(F.col("url").alias("cand_url")).distinct(),
-                "cand_url", "left_anti",
-            )
+            # be pure overhead there. (≤ batch urls — broadcast regime.)
+            final_urls = extracted.select(
+                F.col("url").alias("cand_url")
+            ).distinct()
+            if cfg.broadcast_batch:
+                final_urls = F.broadcast(final_urls)
+            new_cand = new_cand.join(final_urls, "cand_url", "left_anti")
 
         _mark("bloom_probe+anti")
         # not already pending at the same (url, depth) (reference
-        # `(url, depth) not in pending`, :610-616) — vs post-removal frontier
+        # `(url, depth) not in pending`, :610-616) — vs post-removal
+        # frontier. Small-round regime: the frontier state never shuffles
+        # either — broadcast the ≤batch url set into the frontier scan for
+        # the removal, and run the pending check as the same
+        # semi-then-anti double broadcast as the seen dedup above.
+        batch_urls_side = batch.select("url")
+        if cfg.broadcast_batch:
+            batch_urls_side = F.broadcast(batch_urls_side)
         frontier_after_removal = frontier_df.join(
-            batch.select("url"), "url", "left_anti"
+            batch_urls_side, "url", "left_anti"
         )
-        new_cand = new_cand.join(
-            frontier_after_removal.select(
+        if cfg.broadcast_batch:
+            pending_hits = frontier_after_removal.join(
+                F.broadcast(
+                    new_cand.select(
+                        F.col("cand_url").alias("url"),
+                        F.col("next_depth").alias("depth"),
+                    )
+                ),
+                ["url", "depth"], "left_semi",
+            ).select(
                 F.col("url").alias("cand_url"),
                 F.col("depth").alias("next_depth"),
-            ),
-            ["cand_url", "next_depth"],
-            "left_anti",
-        )
+            )
+            new_cand = new_cand.join(
+                F.broadcast(pending_hits), ["cand_url", "next_depth"],
+                "left_anti",
+            )
+        else:
+            new_cand = new_cand.join(
+                frontier_after_removal.select(
+                    F.col("url").alias("cand_url"),
+                    F.col("depth").alias("next_depth"),
+                ),
+                ["cand_url", "next_depth"],
+                "left_anti",
+            )
 
         # discovery order key: encode (batch_seq, pos) into ONE long —
         # (batch_seq << 32) | pos is monotone and unique over the round's

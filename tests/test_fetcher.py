@@ -776,6 +776,85 @@ def test_fetch_url_gunzips_magic_payload(server):
         PAGES.pop("/corrupt.gz", None)
 
 
+def test_http_soak_flat_wall_bounded_driver_state(spark, tmp_path):
+    """12-round live-server soak with robots TTL + adaptive throttle on —
+    the http-mode twin of the 48-round corpus soak (guards the http-only
+    driver state against the next O(rounds) leak): per-round wall stays
+    flat, the robots host LRU and retired-state list stay bounded, and
+    host_state keeps exactly one row per host across all rounds."""
+    import statistics
+    import threading as _threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from louis_crawler_legacy_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    log: list[str] = []
+
+    class Srv(BaseHTTPRequestHandler):
+        def do_GET(self):
+            log.append(self.path)
+            if self.path == "/robots.txt":
+                body = b"User-agent: *\nDisallow: /private/\n"
+            else:
+                # infinite binary tree: /site/{i} -> /site/{2i+1}, /site/{2i+2}
+                i = int(self.path.rsplit("/", 1)[1])
+                body = (
+                    f"<html><head><title>S{i}</title></head><body><main>"
+                    f'<p>node {i}</p><a href="/site/{2 * i + 1}">l</a>'
+                    f'<a href="/site/{2 * i + 2}">r</a></main></body></html>'
+                ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Srv)
+    _threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        cfg = CrawlConfig(
+            max_depth=30, batch_size=4, num_partitions=2,
+            bloom_capacity=1_000, fetcher="http", fetch_timeout=5.0,
+            fetch_robots=True, robots_ttl_rounds=3,
+            adaptive_throttle=True, throttle_start_delay=0.001,
+            throttle_max_delay=0.05, checkpoint_every=0,
+            detailed_metrics=False, collect_batch_urls=False,
+        )
+        eng = CrawlEngine(spark, corpus=None,
+                          warehouse_dir=str(tmp_path / "wh"), config=cfg)
+        eng.bootstrap([f"{base}/site/0"])
+        walls, robots_cache, retired = [], [], []
+        r = 1
+        while r <= 12:
+            s = eng.run_round(r)
+            if s is None:
+                break
+            walls.append(s.wall_sec)
+            robots_cache.append(len(eng._robots_hosts or {}))
+            retired.append(len(eng._retired_state))
+            r += 1
+        eng.checkpoint(r - 1, wait=True)
+        assert len(walls) == 12, f"crawl ended early after {len(walls)} rounds"
+        assert max(robots_cache) <= 1, robots_cache  # one host, ever
+        assert max(retired) <= 8, f"retired-state trending up: {retired}"
+        # TTL 3 over 12 rounds: the single host refetches at most every
+        # 3rd round (4-5 requests), never per-round
+        assert log.count("/robots.txt") <= 5
+        # throttle state: exactly one host_state row, MERGE not append
+        assert eng.host_state.read().count() == 1
+        early = statistics.median(walls[1:5])
+        late = statistics.median(walls[-4:])
+        assert late < 2.5 * early, (
+            f"per-round wall trending up: early {early:.2f}s late {late:.2f}s "
+            f"walls={['%.2f' % w for w in walls]}"
+        )
+    finally:
+        srv.shutdown()
+
+
 def test_robots_ttl_refetches_and_applies_new_rules(spark, tmp_path):
     """robots_ttl_rounds: rules are cached per host for N rounds, then
     refetched (MERGE-upserting the host's table row) — a rule change on

@@ -200,25 +200,47 @@ def run_http_bench(spark, n_pages_per_host: int = 80, n_hosts: int = 4) -> dict:
         )
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     seeds = [r["url"] for r in rows[:64]]
+    # sitemap-seeded variant: the server advertises the same 64 seeds as a
+    # sitemap; its row prices the sitemap fetch+parse expansion on top of
+    # the identical crawl
+    pages_by_path["/sitemap.xml"] = (
+        200,
+        "<urlset>"
+        + "".join(f"<url><loc>{u}</loc></url>" for u in seeds)
+        + "</urlset>",
+    )
 
     base_cfg = dict(max_depth=3, batch_size=512, num_partitions=8,
                     bloom_capacity=50_000, detailed_metrics=False,
                     checkpoint_every=0, collect_batch_urls=False)
     variants = {
-        "corpus_replay": (dict(base_cfg), True),
-        "http": (dict(base_cfg, fetcher="http", fetch_timeout=10.0), False),
+        "corpus_replay": (dict(base_cfg), True, None),
+        "http": (dict(base_cfg, fetcher="http", fetch_timeout=10.0), False,
+                 None),
         "http_pacing": (
             dict(base_cfg, fetcher="http", fetch_timeout=10.0,
-                 host_min_interval=0.001), False,
+                 host_min_interval=0.001), False, None,
         ),
         "http_robots": (
             dict(base_cfg, fetcher="http", fetch_timeout=10.0,
-                 fetch_robots=True), False,
+                 fetch_robots=True), False, None,
+        ),
+        # adaptive throttle at a localhost-scale cap: prices the machinery
+        # (host repartition, seed join, learned-delay upsert per round) —
+        # real sites pay the intervals themselves, by design
+        "http_throttle": (
+            dict(base_cfg, fetcher="http", fetch_timeout=10.0,
+                 adaptive_throttle=True, throttle_start_delay=0.001,
+                 throttle_max_delay=0.005), False, None,
+        ),
+        "http_sitemap": (
+            dict(base_cfg, fetcher="http", fetch_timeout=10.0), False,
+            "sitemap",
         ),
     }
     out = {}
     try:
-        for name, (cfg_kw, use_corpus) in variants.items():
+        for name, (cfg_kw, use_corpus, seed_mode) in variants.items():
             wh = tempfile.mkdtemp(prefix=f"bench_http_{name}_")
             try:
                 cdf = None
@@ -230,7 +252,21 @@ def run_http_bench(spark, n_pages_per_host: int = 80, n_hosts: int = 4) -> dict:
                 if cdf is not None:
                     eng.corpus.count()
                 t0 = time.time()
-                stats = eng.run(seeds=seeds)
+                if seed_mode == "sitemap":
+                    from louis_crawler_legacy_spark.sources.sitemap import (
+                        sitemap_seeds_from_urls,
+                    )
+
+                    seed_df = sitemap_seeds_from_urls(
+                        spark.createDataFrame(
+                            [(f"{base}/sitemap.xml",)], ["url"]
+                        ),
+                        timeout=10.0,
+                    )
+                    run_seeds = [r.url for r in seed_df.collect()]
+                else:
+                    run_seeds = seeds
+                stats = eng.run(seeds=run_seeds)
                 wall = time.time() - t0
                 scheduled = sum(s.n_batch for s in stats)
                 out[name] = {

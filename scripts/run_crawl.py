@@ -48,7 +48,14 @@ def main() -> None:
                         "(http fetcher)")
     p.add_argument("--adaptive-throttle", action="store_true",
                    help="AutoThrottle-style per-host backoff from observed "
-                        "latency (http fetcher)")
+                        "latency (http fetcher); learned delays persist "
+                        "across rounds in the host_state table")
+    p.add_argument("--throttle-target-concurrency", type=float, default=1.0,
+                   help="AUTOTHROTTLE_TARGET_CONCURRENCY: intervals "
+                        "converge toward latency / this")
+    p.add_argument("--robots-host-cache-size", type=int, default=100_000,
+                   help="driver-side robots host-LRU bound (evicted hosts "
+                        "fall back to a warehouse lookup, never a refetch)")
     p.add_argument("--seed-from-sitemaps", action="store_true",
                    help="expand each --seeds line that is a sitemap URL "
                         "(contains 'sitemap', .xml) into its page URLs "
@@ -89,6 +96,8 @@ def main() -> None:
         robots_ttl_rounds=args.robots_ttl_rounds,
         host_min_interval=args.host_min_interval,
         adaptive_throttle=args.adaptive_throttle,
+        throttle_target_concurrency=args.throttle_target_concurrency,
+        robots_host_cache_size=args.robots_host_cache_size,
     )
     if args.fetcher == "corpus" and not args.corpus:
         sys.exit("--corpus required unless --fetcher http")
@@ -108,7 +117,8 @@ def main() -> None:
             )
 
             maps = [s for s in seeds
-                    if "sitemap" in s.lower() and s.lower().endswith(".xml")]
+                    if "sitemap" in s.lower()
+                    and s.lower().endswith((".xml", ".xml.gz"))]
             if maps:
                 expanded = sitemap_seeds_from_urls(
                     spark.createDataFrame([(u,) for u in maps], ["url"]),

@@ -98,7 +98,14 @@ SCALING_CFG = dict(max_depth=2, batch_size=8_192, host_budget=None,
 # RPC scheduling) that production-size rounds amortize — efficiency is
 # round-size-dependent and the trend is the evidence (BENCH.md table).
 SCALING_EXEC_LEVELS = ("1x2", "4x2")
-EXEC_MEM_MB = 4096
+# Executor HEAP (spark.executor.memory). NB: the third field of
+# local-cluster[n,cores,mem] is only the WORKER's capacity — raising it
+# alone does NOT grow the executor heap (a config trap that produced two
+# sessions of phantom "6 GiB" OOM data, BENCH.md r5 memory-ceiling
+# closure). SPARK_GRAFT_EXEC_MEM_MB sets both knobs coherently; at 8192
+# the 1x2-at-16k level completes reliably (4096 intermittently OOMs on
+# broadcast deserialization under broadcast_batch).
+EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "4096"))
 SCALING_EXEC_BENCH = dict(SCALING_BENCH, n_pages=12_000)
 SCALING_EXEC_CFG = dict(SCALING_CFG, batch_size=8_192, bloom_capacity=200_000)
 
@@ -348,7 +355,8 @@ def run_scaling_level(spec: str) -> dict:
 
     cpus, master, _ = _level_master(spec)
     spark = fresh_spark(cpus) if master is None else get_spark(
-        app_name=f"bench-{spec}", master=master
+        app_name=f"bench-{spec}", master=master,
+        executor_memory=f"{EXEC_MEM_MB}m",
     )
     if master is None:
         seeds, bp, cp = 2048, SCALING_BENCH, SCALING_CFG

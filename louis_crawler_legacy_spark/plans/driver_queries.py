@@ -762,9 +762,10 @@ def d2_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_groups(d, F.substring("text", 1, 30))
 
 
-@query(
-    "d3_ngram_jaccard",
-    """
+def _d3_pairs_sql(threshold: float = 0.2) -> str:
+    """The blocked n-gram-Jaccard pair statement — d3's oracle, and the
+    edge generator d6's cluster oracle embeds (one definition, no drift)."""
+    return f"""
     WITH sh AS (
       SELECT doc_id, trim(text) AS t,
              string_split_regex(trim(text), '\\s+') AS w,
@@ -785,9 +786,12 @@ def d2_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                  4) AS jaccard
     FROM shingled a JOIN shingled b ON a.block = b.block AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-          greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) >= 0.2
-    """,
-)
+          greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
+          >= {threshold}
+    """
+
+
+@query("d3_ngram_jaccard", _d3_pairs_sql(threshold=0.2))
 def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from louis_crawler_legacy_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -954,6 +958,66 @@ def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+def _d6_oracle() -> str:
+    """Exact cluster oracle: edges = d3's near-dup pairs (the SAME
+    statement, embedded) ∪ exact-duplicate text pairs; components by
+    recursive transitive closure (reach), component id = min reachable
+    node; docs outside every pair are singleton clusters. The oracle
+    states the SEMANTICS declaratively — the Spark plan's iterative
+    min-label propagation with pointer jumping is the physical strategy
+    (closure materialization is O(k²) per component; the engine never
+    builds it)."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_d3_pairs_sql(threshold=0.2)})
+    ), dup_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b
+        ON a.text = b.text AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+      UNION SELECT id_a, id_b FROM dup_pairs
+      UNION SELECT id_b, id_a FROM dup_pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """
+
+
+# D6 — duplicate-CLUSTER resolution: transitive closure of the near/exact-dup
+# pair graph (near-dup is not transitive — keeping one doc per PAIR
+# over-retains; a pipeline keeps one doc per COMPONENT). Engine analog: none
+# in the reference; part of the training-data suite.
+# Scale: operators/cluster.py — iterative hash-min + pointer jumping,
+# O(log diameter) rounds, only (id,label) longs shuffle, min() is map-side
+# combinable (hub-safe), lineage cut per round with localCheckpoint.
+@query("d6_dedup_clusters", _d6_oracle())
+def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.cluster import dedup_clusters
+    from louis_crawler_legacy_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    near = ngram_jaccard_pairs(d, threshold=0.2).select("id_a", "id_b")
+    # exact-dup edges as a STAR to the min doc of each text group (same
+    # components as the oracle's clique form, linear not quadratic edges)
+    roots = d.groupBy("text").agg(F.min("doc_id").alias("id_b"))
+    exact = (
+        d.join(roots, "text")
+        .where(F.col("doc_id") != F.col("id_b"))
+        .select(F.col("doc_id").alias("id_a"), "id_b")
+    )
+    return dedup_clusters(d, near.unionByName(exact))
 
 
 # --- similarity search --------------------------------------------------------

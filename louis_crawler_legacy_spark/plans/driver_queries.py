@@ -960,17 +960,15 @@ def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _d6_oracle() -> str:
-    """Exact cluster oracle: edges = d3's near-dup pairs (the SAME
-    statement, embedded) ∪ exact-duplicate text pairs; components by
-    recursive transitive closure (reach), component id = min reachable
-    node; docs outside every pair are singleton clusters. The oracle
-    states the SEMANTICS declaratively — the Spark plan's iterative
-    min-label propagation with pointer jumping is the physical strategy
-    (closure materialization is O(k²) per component; the engine never
-    builds it)."""
-    return f"""
-    WITH RECURSIVE pairs AS (
+def _d6_comp_ctes() -> str:
+    """The cluster-oracle CTE chain (shared by d6 and c3): edges = d3's
+    near-dup pairs (the SAME statement, embedded) ∪ exact-duplicate text
+    pairs; components by recursive transitive closure (reach), component
+    id = min reachable node. The oracle states the SEMANTICS declaratively
+    — the Spark plan's iterative min-label propagation with pointer
+    jumping is the physical strategy (closure materialization is O(k²)
+    per component; the engine never builds it)."""
+    return f"""pairs AS (
       SELECT id_a, id_b FROM ({_d3_pairs_sql(threshold=0.2)})
     ), dup_pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -988,7 +986,14 @@ def _d6_oracle() -> str:
     ), comp AS (
       SELECT u AS doc_id, least(u, min(v)) AS cluster_id
       FROM reach GROUP BY u
-    )
+    )"""
+
+
+def _d6_oracle() -> str:
+    """Total doc_id → cluster_id map; docs outside every pair are
+    singleton clusters."""
+    return f"""
+    WITH RECURSIVE {_d6_comp_ctes()}
     SELECT d.doc_id,
            CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
@@ -1293,6 +1298,93 @@ def _register_curation_oracle() -> None:
 
 
 _register_curation_oracle()
+
+
+# C2 — deterministic stratified sampling (operators/sampling.py): keep-decision
+# is a hash of the ROW key, so the sample is retry/rerun/partitioning-stable
+# and nested across rates — df.sample()'s per-task RNG is none of those.
+# Scale: a narrow filter in the scan stage; per-stratum rates are one CASE
+# threshold, no join, no shuffle, no RNG state.
+@query("c2_stratified_sample")
+def c2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        d,
+        key=F.col("doc_id"),
+        strata_col="lang",
+        rates={"en": 0.5, "fr": 0.25},
+        default_rate=0.1,
+        salt="s1",
+    )
+    return out.select("doc_id", "lang")
+
+
+def _register_sampling_oracle() -> None:
+    from louis_crawler_legacy_spark.operators.sampling import (
+        oracle_hash_bucket,
+    )
+
+    bucket = oracle_hash_bucket("doc_id", salt="s1")
+    ORACLES["c2_stratified_sample"] = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {bucket} < CASE WHEN lang = 'en' THEN 5000
+                          WHEN lang = 'fr' THEN 2500
+                          ELSE 1000 END
+    """
+
+
+_register_sampling_oracle()
+
+
+# C3 — canonical selection per duplicate cluster: dedup (d6 components) is
+# only half the curation decision — WHICH copy survives matters; keep the
+# best-quality doc (min doc_id on ties). Composes cluster + textstats in one
+# plan: the components loop shuffles (id,label) longs, then ONE max_by
+# aggregate (partial-agg combinable) picks keepers — documents never shuffle
+# (quality is computed in the scan, only (cluster_id, doc_id, quality) moves).
+@query("c3_cluster_canonical")
+def c3_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators import textstats as ts
+
+    clusters = d6_dedup_clusters(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", ts.quality_score(F.col("text")).alias("quality")
+    )
+    scored = d.join(clusters, "doc_id")
+    return scored.groupBy("cluster_id").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("max_by(doc_id, struct(quality, -doc_id))").alias("keeper_id"),
+        F.max("quality").alias("keeper_quality"),
+    )
+
+
+def _register_cluster_canonical_oracle() -> None:
+    from louis_crawler_legacy_spark.operators import textstats as ts
+
+    ORACLES["c3_cluster_canonical"] = f"""
+    WITH RECURSIVE {_d6_comp_ctes()}, total AS (
+      SELECT d.doc_id,
+             CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+             {ts.ORACLE_QUALITY} AS quality
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ), agg AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+             max(quality) AS keeper_quality
+      FROM total GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, a.n_docs, min(t.doc_id) AS keeper_id,
+           a.keeper_quality
+    FROM agg a JOIN total t
+      ON t.cluster_id = a.cluster_id AND t.quality = a.keeper_quality
+    GROUP BY a.cluster_id, a.n_docs, a.keeper_quality
+    """
+
+
+_register_cluster_canonical_oracle()
 
 
 # oracles for t2/t3/t4 are built from the SAME fragments the Spark

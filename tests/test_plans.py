@@ -102,6 +102,25 @@ def test_d3_hot_block_triggers_aqe_skew_split(spark):
             spark.conf.set(k, v)
 
 
+def test_c3_text_never_crosses_an_exchange(spark):
+    """c3 (cluster-canonical selection): quality is computed in the scan
+    project, so the documents' wide `text` column must never appear in an
+    Exchange — only (cluster_id, doc_id, quality) longs/doubles move into
+    the per-cluster max_by aggregate. Guards against a refactor that joins
+    clusters to raw documents and computes quality after the shuffle."""
+    import re
+
+    plan = plan_of(spark, "c3_cluster_canonical")
+    # formatted explain: each Exchange node has a detail block starting
+    # "(N) Exchange" whose Input [...] lists the attributes that move
+    blocks = re.split(r"\n\n", plan)
+    exchange_blocks = [b for b in blocks if re.search(r"\(\d+\) Exchange", b)]
+    for b in exchange_blocks:
+        assert not re.search(r"\btext#", b), f"text crossed an exchange:\n{b}"
+    # the aggregate itself is present (partial+final max_by)
+    assert "max_by" in plan
+
+
 def test_bucketed_seen_state_probe_never_shuffles_blobs(spark, tmp_path):
     """The 10^10-scale seen-state layout (PLANS.md): filter blobs persisted
     BUCKETED by part_id feed the probe cogroup with NO Exchange on the blob

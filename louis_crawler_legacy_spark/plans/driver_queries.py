@@ -720,6 +720,38 @@ def t3_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", ts.quality_score(F.col("text")).alias("quality"))
 
 
+# T5 — corpus vocabulary top-k (term frequency): the workhorse behind
+# stopword lists, quality heuristics, and contamination checks. Scale:
+# explode feeds a map-side-combinable count (partial agg collapses each
+# task's terms before the exchange — the shuffle carries (term, partial_n),
+# not one row per token), then TakeOrderedAndProject for the top-k (per-
+# partition k, no global sort). Deterministic: ties broken by term.
+@query(
+    "t5_vocab_topk",
+    r"""
+    SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ) WHERE len(term) >= 2
+    GROUP BY term ORDER BY n DESC, term ASC LIMIT 50
+    """,
+)
+def t5_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(ts.words_col(F.lower(F.col("text")))).alias("term")
+    )
+    return (
+        words.where(F.length("term") >= 2)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(50)
+    )
+
+
 @query("t4_fingerprint")
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from louis_crawler_legacy_spark.operators import textstats as ts

@@ -82,8 +82,12 @@ def connected_components(
     if nodes is not None:
         node_ids = nodes.select(F.col(id_col).alias("id")).distinct()
     else:
+        # derive from the RAW edges (pre self-loop filter) so a node that
+        # appears only in self-loops still gets a singleton component
         node_ids = (
-            bidir.select(F.col("u").alias("id")).distinct()
+            edges.select(F.col(src).alias("id"))
+            .unionByName(edges.select(F.col(dst).alias("id")))
+            .distinct()
         )
     labels = node_ids.select("id", F.col("id").alias("label")).localCheckpoint()
 

@@ -67,6 +67,10 @@ def test_self_loops_duplicates_and_empty(spark):
     edges = [(1, 1), (2, 3), (3, 2), (2, 3)]
     assert _run_cc(spark, 5, edges) == uf_components(5, edges)
     assert _run_cc(spark, 3, []) == {0: 0, 1: 1, 2: 2}
+    # nodes=None: a node appearing ONLY in self-loops is still a singleton
+    e = spark.createDataFrame([(7, 7), (1, 2)], ["src", "dst"])
+    got = {r.id: r.component for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 7: 7}
 
 
 def test_long_path_converges_logarithmically(spark):

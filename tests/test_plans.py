@@ -121,6 +121,22 @@ def test_c3_text_never_crosses_an_exchange(spark):
     assert "max_by" in plan
 
 
+def test_t5_vocab_topk_partial_agg_no_global_sort(spark):
+    """t5 (vocabulary top-k): the exchange must carry (term, partial_n),
+    not one row per token — partial_count collapses each task's terms
+    before the shuffle — and the top-50 must be TakeOrderedAndProject
+    (per-partition k), never a global Sort. At 100 TB the explode emits
+    ~10^13 token rows; without the map-side combine the shuffle is the
+    whole corpus re-keyed by term."""
+    plan = plan_of(spark, "t5_vocab_topk")
+    assert "partial_count" in plan  # map-side combine below the exchange
+    assert "TakeOrderedAndProject" in plan
+    # no standalone global Sort node (TakeOrderedAndProject subsumes it)
+    import re
+
+    assert not re.search(r"\(\d+\) Sort\b", plan), "global sort crept in"
+
+
 def test_bucketed_seen_state_probe_never_shuffles_blobs(spark, tmp_path):
     """The 10^10-scale seen-state layout (PLANS.md): filter blobs persisted
     BUCKETED by part_id feed the probe cogroup with NO Exchange on the blob

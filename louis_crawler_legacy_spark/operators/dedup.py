@@ -115,6 +115,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥ min_shared distinct
+    word n-grams with ANY eval-set doc, with the shared-shingle count.
+
+    The training-data gate that keeps benchmark text out of the corpus
+    (the n-gram-overlap test used by GPT-3 §C / PaLM-style dedup-vs-eval
+    sweeps), expressed as the same shingle fold d3/d4 use.
+
+    Scale: the eval set is tiny next to the corpus (10^3-10^5 benchmark
+    rows vs 10^9+ docs), so its distinct shingles BROADCAST; each corpus
+    task explodes its own shingles and probes the broadcast in place —
+    corpus text never crosses an exchange, and the only shuffle carries
+    (doc_id, partial_count) from the map-side-combined per-doc aggregate.
+    If the eval set ever outgrows the broadcast budget, drop to a
+    shingle-hash bucketed join (the d4 band-key pattern) — same fold.
+    """
+    ev = (
+        eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+    ex = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    # shingles() is per-doc distinct, so count(*) = distinct shared grams
+    return (
+        ex.join(F.broadcast(ev), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1419,6 +1419,44 @@ def _register_cluster_canonical_oracle() -> None:
 _register_cluster_canonical_oracle()
 
 
+# C4 — benchmark decontamination: flag corpus docs sharing word 3-grams
+# with a held-out eval set (here a deterministic doc_id % 19 = 7 slice of
+# the same table — the driver corpus has no separate benchmark file; the
+# operator takes any eval DataFrame). Eval shingles broadcast; corpus
+# probes in place; the only exchange is the per-doc count aggregate.
+@query(
+    "c4_decontaminate",
+    r"""
+    WITH sh AS (
+      SELECT doc_id, trim(text) AS t,
+             string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+             ELSE [t] END AS sh
+      FROM sh
+    ), ev AS (
+      SELECT DISTINCT unnest(sh) AS s FROM shingled WHERE doc_id % 19 = 7
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM (SELECT doc_id, unnest(sh) AS s FROM shingled
+          WHERE doc_id % 19 <> 7) c
+    JOIN ev USING (s)
+    GROUP BY c.doc_id
+    """,
+)
+def c4_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.dedup import contamination
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 19 == 7)
+    corpus = d.where(F.col("doc_id") % 19 != 7)
+    return contamination(corpus, ev)
+
+
 # oracles for t2/t3/t4 are built from the SAME fragments the Spark
 # implementations document (operators/textstats.py) so they evolve together
 def _register_textstat_oracles() -> None:

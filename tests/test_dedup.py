@@ -119,3 +119,45 @@ def test_ngram_jaccard_short_texts(spark):
              for r in ngram_jaccard_pairs(df, threshold=0.2).collect()}
     # identical after trim: (1,2), (1,5), (2,5); two-word dup (3,4)
     assert pairs == {(1, 2): 1.0, (1, 5): 1.0, (2, 5): 1.0, (3, 4): 1.0}
+
+
+def test_contamination_planted(spark, docs_df):
+    """Decontamination vs a brute-force Python twin: eval set = the 10
+    planted-near-dup sources; their mutated twins share most 3-grams,
+    unrelated docs mostly don't. Counts must equal the exact
+    distinct-shingle intersection per doc."""
+    eval_ids = {a for a, _ in PLANTED}
+    ev = docs_df.where(F.col("doc_id").isin(*eval_ids))
+    corpus = docs_df.where(~F.col("doc_id").isin(*eval_ids))
+    got = {r.doc_id: r.n_shared
+           for r in dedup.contamination(corpus, ev).collect()}
+
+    def py_shingles(t):
+        w = t.split()
+        return (set(" ".join(w[i:i + 3]) for i in range(len(w) - 2))
+                if len(w) >= 3 else {t.strip()})
+
+    texts = dict(DOCS)
+    ev_sh = set().union(*(py_shingles(texts[i]) for i in eval_ids))
+    want = {}
+    for i, t in DOCS:
+        if i in eval_ids:
+            continue
+        n = len(py_shingles(t) & ev_sh)
+        if n >= 1:
+            want[i] = n
+    assert got == want
+    # every planted twin is flagged (≈95% gram overlap with its source)
+    for a, b in PLANTED:
+        assert b in got, f"planted contaminated doc {b} missed"
+
+
+def test_contamination_min_shared_gate(spark, docs_df):
+    """min_shared raises the bar monotonically."""
+    eval_ids = {a for a, _ in PLANTED}
+    ev = docs_df.where(F.col("doc_id").isin(*eval_ids))
+    corpus = docs_df.where(~F.col("doc_id").isin(*eval_ids))
+    loose = dedup.contamination(corpus, ev, min_shared=1).count()
+    strict = dedup.contamination(corpus, ev, min_shared=30).count()
+    assert strict <= loose
+    assert strict >= len(PLANTED)  # twins share ≥30 of ~58 grams

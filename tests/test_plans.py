@@ -121,6 +121,24 @@ def test_c3_text_never_crosses_an_exchange(spark):
     assert "max_by" in plan
 
 
+def test_c4_eval_broadcasts_corpus_never_shuffles_text(spark):
+    """c4 (decontamination): the eval shingle set must BROADCAST (the
+    corpus probes it in place — at 10^9 docs vs 10^4 benchmark rows a
+    sort-merge join would shuffle the whole exploded corpus), and the
+    corpus `text` column must never cross an Exchange: only
+    (doc_id, partial_count) moves into the per-doc aggregate."""
+    import re
+
+    plan = plan_of(spark, "c4_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan  # map-side combine below the exchange
+    blocks = re.split(r"\n\n", plan)
+    for b in blocks:
+        if re.search(r"\(\d+\) Exchange", b):
+            assert not re.search(r"\btext#", b), f"text crossed an exchange:\n{b}"
+
+
 def test_t5_vocab_topk_partial_agg_no_global_sort(spark):
     """t5 (vocabulary top-k): the exchange must carry (term, partial_n),
     not one row per token — partial_count collapses each task's terms

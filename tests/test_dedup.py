@@ -161,3 +161,21 @@ def test_contamination_min_shared_gate(spark, docs_df):
     strict = dedup.contamination(corpus, ev, min_shared=30).count()
     assert strict <= loose
     assert strict >= len(PLANTED)  # twins share ≥30 of ~58 grams
+
+
+def test_contamination_short_text_fallback(spark):
+    """<3-word docs shingle to the whole trimmed text: an exact short
+    eval string must flag its corpus duplicate, and near-misses must not
+    (no partial n-grams exist to collide on)."""
+    corpus = spark.createDataFrame(
+        [(1, "secret answer"), (2, "secret  answer "), (3, "secret question"),
+         (4, "a b c d e")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, " secret answer")], ["doc_id", "text"])
+    got = {r.doc_id: r.n_shared
+           for r in dedup.contamination(corpus, ev).collect()}
+    # the fallback shingle is the TRIMMED RAW text (shingles(): F.trim),
+    # exactly like the oracle's `ELSE [t]` — so doc 2's interior double
+    # space is significant and does NOT match; only the exact dup does
+    assert got == {1: 1}

@@ -148,3 +148,79 @@ ORACLE_FINGERPRINT = (
     r"w -> CAST(ascii(w) * 7 + len(w) AS BIGINT))), "
     rf"(acc, v) -> (acc * 31 + v) % {FINGERPRINT_MOD})"
 )
+
+
+# --- repetition / boilerplate (Gopher-style quality signals) -----------------
+# Rae et al. 2021 (Gopher, §A1.1) filter docs by repeated-content fractions;
+# these are the two workhorse signals. dup_word_frac is a pure column
+# expression (zero shuffle); top_bigram_frac needs a per-(doc,gram) count,
+# done as explode → ONE partial+final hash aggregate (the build rule:
+# explode+aggregate, never an O(n²) nested HOF lambda) → per-doc max/sum.
+
+def dup_word_frac(text: Column) -> Column:
+    """Fraction of word occurrences repeating an earlier word:
+    1 − distinct/total. Native; runs inside the scan stage."""
+    w = words_col(text)
+    return F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1)),
+        4,
+    )
+
+
+def bigrams_col(text: Column) -> Column:
+    """Word 2-grams in order, NON-distinct (frequency matters here, unlike
+    dedup.shingles). <2-word texts → empty array."""
+    w = words_col(text)
+    n = F.size(w) - 1
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return F.when(n >= 1, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-doc repetition report: (id, dup_word_frac, top_bigram_frac)
+    where top_bigram_frac = occurrences of the doc's most frequent word
+    2-gram / total 2-grams (0.0 for <2-word docs).
+
+    Scale: the (id, gram) count aggregate is map-side combined — the
+    shuffle carries partial counts, not one row per token position; the
+    per-doc max/sum reuses the same hash-partitioning on id, and the
+    final join back to the doc spine is keyed by id only (no text moves).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        dup_word_frac(F.col(text_col)).alias("dup_word_frac"),
+        bigrams_col(F.col(text_col)).alias("grams"),
+    )
+    counts = (
+        base.select("id", F.explode("grams").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("id").agg(
+        F.max("c").alias("top"), F.sum("c").alias("tot")
+    )
+    return (
+        base.select("id", "dup_word_frac")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            "dup_word_frac",
+            F.coalesce(
+                F.round(F.col("top") / F.col("tot"), 4), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+ORACLE_DUP_WORD_FRAC = (
+    r"round(1.0 - len(list_distinct(string_split_regex(trim(text), '\s+')))"
+    r"::DOUBLE / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4)"
+)

@@ -1476,6 +1476,42 @@ def _register_textstat_oracles() -> None:
 _register_textstat_oracles()
 
 
+# T6 — repetition/boilerplate report (Gopher §A1.1-style quality signals):
+# duplicate-word fraction + most-frequent-bigram fraction per doc.
+@query(
+    "t6_repetition",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             round(1.0 - len(list_distinct(w))::DOUBLE
+                   / greatest(len(w), 1), 4) AS dup_word_frac,
+             CASE WHEN len(w) >= 2 THEN
+               list_transform(generate_series(1, len(w) - 1),
+                 i -> concat(w[i], ' ', w[i+1]))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM w
+    ), c AS (
+      SELECT doc_id, gram, count(*) AS c
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+      GROUP BY doc_id, gram
+    ), p AS (
+      SELECT doc_id, max(c) AS top, sum(c) AS tot FROM c GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.dup_word_frac,
+           coalesce(round(p.top::DOUBLE / p.tot, 4), 0.0) AS top_bigram_frac
+    FROM g LEFT JOIN p USING (doc_id)
+    """,
+)
+def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    return ts.repetition_stats(d).withColumnRenamed("id", "doc_id")
+
+
 # --- derived pipelines (SURVEY §3.3): hawn chunks + kurt embedding queue ----
 
 @query("p1_hawn_chunks")  # rows-only (chunker is not SQL-expressible)

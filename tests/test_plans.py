@@ -121,6 +121,20 @@ def test_c3_text_never_crosses_an_exchange(spark):
     assert "max_by" in plan
 
 
+def test_t6_repetition_partial_agg_no_text_in_exchange(spark):
+    """t6 (repetition report): the (doc, bigram) count must be map-side
+    combined (the shuffle carries partial counts, not one row per token
+    position), and the raw `text` column must never cross an Exchange —
+    dup_word_frac and the bigram array are computed in the scan project."""
+    import re
+
+    plan = plan_of(spark, "t6_repetition")
+    assert "partial_count" in plan
+    for b in re.split(r"\n\n", plan):
+        if re.search(r"\(\d+\) Exchange", b):
+            assert not re.search(r"\btext#", b), f"text crossed an exchange:\n{b}"
+
+
 def test_c4_eval_broadcasts_corpus_never_shuffles_text(spark):
     """c4 (decontamination): the eval shingle set must BROADCAST (the
     corpus probes it in place — at 10^9 docs vs 10^4 benchmark rows a

@@ -237,3 +237,24 @@ def test_lsh_indexed_matches_inmemory_and_prunes(spark, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "partition pruning missing"
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition signals vs hand-computed ground truth, incl. the
+    <2-word (no bigrams) and fully-repetitive edge cases."""
+    rows = [
+        (1, "a b a b a"),     # words 5, distinct 2 → dup 0.6;
+                              # bigrams: ab, ba, ab, ba → top 2/4 = 0.5
+        (2, "x"),             # 1 word → dup 0.0, no bigrams → 0.0
+        (3, "w w w w"),       # dup 0.75; bigrams all 'w w' → 1.0
+        (4, "p q r s"),       # all unique → dup 0.0; top bigram 1/3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.id: (r.dup_word_frac, r.top_bigram_frac)
+           for r in textstats.repetition_stats(df).collect()}
+    assert got == {
+        1: (0.6, 0.5),
+        2: (0.0, 0.0),
+        3: (0.75, 1.0),
+        4: (0.0, 0.3333),
+    }

@@ -230,6 +230,37 @@ def minhash_signatures(
     )
 
 
+def band_keys(sig: Column, bands: int, rows_per_band: int, band_hash_fn) -> Column:
+    """array<long> of per-band hashes over a minhash signature array —
+    ONE fold shared by within-corpus (minhash_lsh_pairs) and incremental
+    (minhash_lsh_incremental) dedup so their band keys never drift."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: band_hash_fn(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ),
+    )
+
+
+def _no_earlier_band_match() -> Column:
+    """Min-band pair ownership predicate (see minhash_lsh_pairs): emit a
+    candidate only from its lowest matching band. CASE WHEN is lazily
+    evaluated — for band 0 the sequence branch never runs."""
+    return F.when(F.col("band") == 0, F.lit(True)).otherwise(
+        ~F.exists(
+            F.sequence(F.lit(1), F.col("band")),
+            lambda j: F.element_at(F.col("bands_a"), j)
+            == F.element_at(F.col("bands_b"), j),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -254,18 +285,7 @@ def minhash_lsh_pairs(
     # explode to (band, band_hash) bucket keys — the ONLY shuffle key. The
     # full band-hash array rides along so pair ownership can be decided
     # WITHOUT a dedup shuffle (min-band ownership below).
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: band_hash_fn(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ),
-    )
+    band_arr = band_keys(F.col("sig"), bands, rows_per_band, band_hash_fn)
     banded = sig.withColumn("bands", band_arr).select(
         "id", "sig", "bands",
         F.posexplode(F.col("bands")).alias("band", "band_hash"),
@@ -280,16 +300,7 @@ def minhash_lsh_pairs(
     # emit it ONLY from its lowest matching band (no earlier band equal) —
     # a free filter instead of dropDuplicates, so duplicate candidate pairs
     # from hot bands are never materialized or shuffled at all.
-    # CASE WHEN is lazily evaluated — for band 0 the sequence/element_at
-    # branch (which would be sequence(1,0) = [1,0] under Spark's descending
-    # rule) never runs
-    no_earlier_match = F.when(F.col("band") == 0, F.lit(True)).otherwise(
-        ~F.exists(
-            F.sequence(F.lit(1), F.col("band")),
-            lambda j: F.element_at(F.col("bands_a"), j)
-            == F.element_at(F.col("bands_b"), j),
-        )
-    )
+    no_earlier_match = _no_earlier_band_match()
     cand = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -305,6 +316,72 @@ def minhash_lsh_pairs(
         cand.withColumn("sim", F.round(sim, 4))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
+    )
+
+
+def minhash_lsh_incremental(
+    new_df: DataFrame,
+    corpus_sig: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    hash_fn=None,
+    band_hash_fn=None,
+) -> DataFrame:
+    """Incremental dedup: (new_id, corpus_id, sim) for NEW docs that
+    near-duplicate an EXISTING corpus — the continual-crawl production
+    shape, where the corpus must never re-pair against itself.
+
+    `corpus_sig` is the (id, sig) output of minhash_signatures,
+    MATERIALIZED once at ingest: each increment hashes only its own
+    batch, the 100 TB corpus contributes signatures (num_perm longs/doc,
+    ~0.5 KB), never text, and no corpus×corpus or new×new candidate is
+    ever formed. The join shuffles on (band, band_hash) only; at scale,
+    write the corpus band table partitioned by band_hash bucket (the s2
+    write-time layout) so only the new side moves. Same band fold and
+    min-band candidate ownership as minhash_lsh_pairs — an incremental
+    run finds exactly the cross-set subset of the full run's pairs
+    (locked in test_dedup)."""
+    band_hash_fn = band_hash_fn or F.xxhash64
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    new_sig = minhash_signatures(
+        new_df, id_col, text_col, num_perm, shingle_n, hash_fn
+    )
+
+    def banded(s: DataFrame) -> DataFrame:
+        arr = band_keys(F.col("sig"), bands, rows_per_band, band_hash_fn)
+        return s.withColumn("bands", arr).select(
+            "id", "sig", "bands",
+            F.posexplode(F.col("bands")).alias("band", "band_hash"),
+        )
+
+    left = banded(new_sig).select(
+        "band", "band_hash", F.col("id").alias("new_id"),
+        F.col("sig").alias("sig_a"), F.col("bands").alias("bands_a"),
+    )
+    right = banded(corpus_sig).select(
+        "band", "band_hash", F.col("id").alias("corpus_id"),
+        F.col("sig").alias("sig_b"), F.col("bands").alias("bands_b"),
+    )
+    # cross-set: no id ordering (the sets are disjoint by construction);
+    # min-band ownership alone dedups multi-band candidates
+    cand = left.join(right, ["band", "band_hash"]).filter(
+        _no_earlier_band_match()
+    )
+    sim = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_perm))
+    return (
+        cand.withColumn("sim", F.round(sim, 4))
+        .filter(F.col("sim") >= threshold)
+        .select("new_id", "corpus_id", "sim")
     )
 
 

@@ -831,7 +831,13 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.2)
 
 
-def _d4_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.3) -> str:
+def _d4_oracle(
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.3,
+    cols: tuple[str, str] = ("id_a", "id_b"),
+    pair_pred: str = "a.doc_id < b.doc_id",
+) -> str:
     """Exact DuckDB twin of minhash_lsh_pairs(hash_fn=poly_hash,
     band_hash_fn=poly_hash): same shingles (d3's CTE), same permutation
     constants (imported from the implementation so they stay in lockstep),
@@ -892,17 +898,17 @@ def _d4_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.3) -> s
     ), bandkeys AS (
       {band_rows}
     ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      SELECT DISTINCT a.doc_id AS {cols[0]}, b.doc_id AS {cols[1]}
       FROM bandkeys a JOIN bandkeys b
-        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.bh = b.bh AND {pair_pred}
     )
-    SELECT c.id_a, c.id_b,
+    SELECT c.{cols[0]}, c.{cols[1]},
            round(len(list_filter(generate_series(1, {num_perm}),
                                  i -> sa.sig[i] = sb.sig[i])) / {num_perm}.0,
                  4) AS sim
     FROM cand c
-    JOIN sigs sa ON sa.doc_id = c.id_a
-    JOIN sigs sb ON sb.doc_id = c.id_b
+    JOIN sigs sa ON sa.doc_id = c.{cols[0]}
+    JOIN sigs sb ON sb.doc_id = c.{cols[1]}
     WHERE len(list_filter(generate_series(1, {num_perm}),
                           i -> sa.sig[i] = sb.sig[i])) / {num_perm}.0
           >= {threshold}
@@ -924,6 +930,36 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planted-dup tests
     return minhash_lsh_pairs(
         d, threshold=0.3, hash_fn=poly_hash, band_hash_fn=poly_hash
+    )
+
+
+# D7 — incremental dedup: a NEW batch (the doc_id % 19 = 7 slice, reusing
+# c4's deterministic split) against the EXISTING corpus (the rest), whose
+# side enters as materialized minhash signatures — the continual-crawl
+# production shape (corpus never re-pairs against itself, contributes
+# ~0.5 KB of signature per doc, never text). Oracle: the d4 statement with
+# the pair predicate swapped to the cross-set split — one shared fold.
+@query(
+    "d7_incremental_dedup",
+    _d4_oracle(
+        cols=("new_id", "corpus_id"),
+        pair_pred="a.doc_id % 19 = 7 AND b.doc_id % 19 <> 7",
+    ),
+)
+def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_signatures,
+        poly_hash,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 19 == 7)
+    corpus = d.where(F.col("doc_id") % 19 != 7)
+    corpus_sig = minhash_signatures(corpus, hash_fn=poly_hash)
+    return minhash_lsh_incremental(
+        new, corpus_sig, threshold=0.3,
+        hash_fn=poly_hash, band_hash_fn=poly_hash,
     )
 
 

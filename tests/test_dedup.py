@@ -179,3 +179,26 @@ def test_contamination_short_text_fallback(spark):
     # exactly like the oracle's `ELSE [t]` — so doc 2's interior double
     # space is significant and does NOT match; only the exact dup does
     assert got == {1: 1}
+
+
+def test_incremental_equals_cross_subset_of_full_run(spark, docs_df):
+    """minhash_lsh_incremental(new, corpus_sigs) must find EXACTLY the
+    cross-set subset of minhash_lsh_pairs(all docs): same band fold, same
+    min-band ownership, same sim — the increment never misses a pair the
+    batch run would find, and never invents one. New = the planted
+    mutated twins (ids 1000+), corpus = everything else."""
+    new = docs_df.where(F.col("doc_id") >= 1000)
+    corpus = docs_df.where(F.col("doc_id") < 1000)
+    corpus_sig = dedup.minhash_signatures(corpus)
+    inc = {(r.new_id, r.corpus_id): r.sim
+           for r in dedup.minhash_lsh_incremental(
+               new, corpus_sig, threshold=0.35).collect()}
+    full = dedup.minhash_lsh_pairs(docs_df, threshold=0.35)
+    cross = {(r.id_b, r.id_a): r.sim for r in full.collect()
+             if r.id_b >= 1000 and r.id_a < 1000}
+    assert inc == cross
+    # every planted twin is caught against its source
+    for a, b in PLANTED:
+        assert (b, a) in inc, f"incremental missed planted ({b},{a})"
+    # and no corpus x corpus / new x new pair leaked through
+    assert all(n >= 1000 and c < 1000 for n, c in inc)

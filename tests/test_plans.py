@@ -57,6 +57,20 @@ def test_minhash_single_aggregate(spark):
     assert "HashAggregate" in plan
 
 
+def test_d7_incremental_signatures_only_text_never_shuffles(spark):
+    """d7 (incremental dedup): both sides' minhash signatures are ONE
+    map-side-combined aggregate (partial_min below the exchange), and the
+    raw `text` column never crosses an Exchange — the corpus contributes
+    signatures (~0.5 KB/doc), the join shuffles (band, band_hash) keys."""
+    import re
+
+    plan = plan_of(spark, "d7_incremental_dedup")
+    assert "partial_min" in plan
+    for b in re.split(r"\n\n", plan):
+        if re.search(r"\(\d+\) Exchange", b):
+            assert not re.search(r"\btext#", b), f"text crossed an exchange:\n{b}"
+
+
 def test_d3_hot_block_triggers_aqe_skew_split(spark):
     """The blocked dedup paths rely on AQE's skew-join for hot blocks
     (session.py enables it; dedup.py documents it). Prove it actually

@@ -88,6 +88,115 @@ def decode_media(
     return df.select(id_col, blob_col).mapInPandas(gen, schema=schema)
 
 
+def fake_resize(payload: bytes, target_w: int, target_h: int) -> tuple:
+    """Deterministic fake 'resize': fit the fake-decoded (w, h) into the
+    target box preserving aspect (never upscale), thumbnail payload =
+    proportional prefix of the input. Pure IEEE-double arithmetic so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    meta = fake_decode(payload)
+    w, h = meta["width"], meta["height"]
+    scale = min(target_w / w, target_h / h, 1.0)
+    out_w = max(1, int(w * scale))
+    out_h = max(1, int(h * scale))
+    out_n = max(1, (out_w * out_h) // 64)
+    return out_w, out_h, payload[: min(len(payload), out_n)]
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    blob_col: str = "payload",
+    real_resize: bool = False,
+) -> DataFrame:
+    """media(id, payload) → (id, width, height, out_w, out_h, out_n_bytes,
+    thumbnail: binary) via mapInPandas — narrow, no shuffle; Arrow moves
+    the blobs once. ``real_resize=True`` is the Pillow seam."""
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    schema = T.StructType(
+        [
+            id_field,
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("out_n_bytes", T.IntegerType()),
+            T.StructField("thumbnail", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_resize:
+                raise NotImplementedError(
+                    "real image resizing requires Pillow; not available "
+                    "in this environment"
+                )
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[blob_col]):
+                p = bytes(p)
+                meta = fake_decode(p)
+                ow, oh, thumb = fake_resize(p, target_w, target_h)
+                rows.append(
+                    (i, meta["width"], meta["height"], ow, oh, len(thumb),
+                     thumb)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "out_w", "out_h",
+                         "out_n_bytes", "thumbnail"],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema=schema)
+
+
+def fake_features(payload: bytes, dims: int = 8) -> list:
+    """Deterministic fake 'feature vector': normalized byte histogram
+    (mod dims) over the bounded 64-byte prefix — double-precision
+    fractions any engine recomputes exactly."""
+    prefix = payload[:64]
+    n = max(len(prefix), 1)
+    counts = [0] * dims
+    for b in prefix:
+        counts[b % dims] += 1
+    return [c / n for c in counts]
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "payload",
+    dims: int = 8,
+    real_extract: bool = False,
+) -> DataFrame:
+    """media(id, payload) → (id, feature: array<double>) via mapInPandas.
+    The output feeds the similarity/ANN operators directly (media →
+    embedding column); ``real_extract=True`` is the model-encoder seam."""
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    schema = T.StructType(
+        [id_field, T.StructField("feature", T.ArrayType(T.DoubleType()))]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_extract:
+                raise NotImplementedError(
+                    "real feature extraction requires an image/audio "
+                    "encoder; not available in this environment"
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "feature": [
+                        fake_features(bytes(p), dims) for p in pdf[blob_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema=schema)
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "payload",
     every_n: int = 10,

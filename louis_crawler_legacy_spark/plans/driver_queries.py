@@ -1320,6 +1320,70 @@ def m1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(d)
 
 
+# M2 — resize plumbing: fit the fake-decoded dims into a 128×128 box,
+# aspect-preserving, never upscaling. The oracle mirrors the Python
+# arithmetic operation-for-operation (same IEEE-double division/multiply/
+# floor order), so dims and thumbnail size match exactly; the binary
+# thumbnail column itself is projected out here (pytest checks it) to
+# keep the oracle pure arithmetic.
+@query(
+    "m2_media_resize",
+    """
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (
+      SELECT doc_id, n,
+             (n * 7) % 640 + 16 AS w,
+             (n * 13) % 480 + 16 AS h
+      FROM m
+    ), s AS (
+      SELECT doc_id, n, w, h,
+             least(128 / w, 128 / h, 1.0) AS scale
+      FROM d
+    ), o AS (
+      SELECT doc_id, n, w, h,
+             greatest(1, CAST(floor(w * scale) AS INT)) AS out_w,
+             greatest(1, CAST(floor(h * scale) AS INT)) AS out_h
+      FROM s
+    )
+    SELECT doc_id, w AS width, h AS height, out_w, out_h,
+           CAST(least(n, greatest(1, (out_w * out_h) // 64)) AS INT)
+             AS out_n_bytes
+    FROM o
+    """,
+)
+def m2_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.media import resize_media
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return resize_media(d, 128, 128).drop("thumbnail")
+
+
+# M3 — feature-extract plumbing: 8-dim normalized byte histogram over the
+# bounded 64-byte prefix (the model-encoder seam's deterministic fake);
+# the output array feeds the similarity/ANN operators directly.
+@query(
+    "m3_media_features",
+    """
+    WITH m AS (SELECT doc_id, substr(text, 1, 64) AS prefix FROM documents)
+    SELECT doc_id,
+           list_transform(generate_series(0, 7), k ->
+             len(list_filter(generate_series(1, len(prefix)),
+                             i -> ascii(substr(prefix, i, 1)) % 8 = k))
+             / greatest(len(prefix), 1)) AS feature
+    FROM m
+    """,
+)
+def m3_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.media import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_features(d)
+
+
 # --- corpus curation: the training-data operators COMPOSED -----------------
 
 @query("c1_curation_pipeline")

@@ -134,6 +134,50 @@ def test_media_real_decode_is_stubbed(spark):
     )
 
 
+def test_media_resize_plumbing(spark):
+    """Aspect preserved, never upscaled, thumbnail is a payload prefix of
+    the declared length — vs the pure-Python twin."""
+    rows = [(i, bytes(f"p-{i}" * (7 * i + 1), "utf-8")) for i in range(15)]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    out = {r.doc_id: r for r in media.resize_media(df, 128, 128).collect()}
+    for i, payload in rows:
+        ow, oh, thumb = media.fake_resize(payload, 128, 128)
+        got = out[i]
+        assert (got.out_w, got.out_h) == (ow, oh)
+        assert got.out_w <= max(got.width, 1) and got.out_w <= 128
+        assert got.out_h <= max(got.height, 1) and got.out_h <= 128
+        assert bytes(got.thumbnail) == thumb
+        assert got.out_n_bytes == len(thumb)
+        assert payload.startswith(bytes(got.thumbnail))
+    with pytest.raises(Exception):
+        media.resize_media(df, 128, 128, real_resize=True).collect()
+
+
+def test_media_features_feed_ann(spark):
+    """extract_features output composes directly with the similarity
+    operators: media blobs → 8-dim vectors → brute-force cosine top-k,
+    where each doc's own vector ranks first (self-similarity 1.0)."""
+    rows = [(i, bytes(f"blob{i}" * (i + 2), "utf-8")) for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    feats = media.extract_features(df)
+    got = {r.doc_id: list(r.feature) for r in feats.collect()}
+    for i, payload in rows:
+        assert got[i] == media.fake_features(payload)
+        assert abs(sum(got[i]) - 1.0) < 1e-12  # histogram normalized
+    queries = feats.where(F.col("doc_id") < 2).selectExpr(
+        "doc_id + 100 AS query_id", "feature AS query_vec"
+    )
+    top = similarity.brute_force_topk(
+        feats.selectExpr("doc_id AS vec_id", "feature AS embedding"),
+        queries, k=1,
+    )
+    best = {r.query_id: r.cos_sim for r in top.collect()}
+    # each query vector exists in the corpus → its top-1 cosine is 1.0
+    assert best == {100: 1.0, 101: 1.0}
+    with pytest.raises(Exception):
+        media.extract_features(df, real_extract=True).collect()
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, bytes(320))], ["doc_id", "payload"])
     frames = media.frame_sample_plan(df, every_n=3).collect()

@@ -385,6 +385,58 @@ def minhash_lsh_incremental(
     )
 
 
+def dup_window_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+) -> DataFrame:
+    """Exact duplicate-substring metric (Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better', the suffix-array dedup
+    re-expressed relationally): per doc, the fraction of word-window
+    positions whose `window`-word string occurs ≥2 times corpus-wide
+    (within-doc repeats count — any second occurrence is duplicated
+    text). Output: (id, n_windows, n_dup, dup_frac); <window-word docs
+    get (0, 0, 0.0).
+
+    Scale: explode emits one row per window POSITION (~tokens rows, the
+    t5 class); the global frequency is ONE map-side-combined count, and
+    the membership join shuffles window keys only — hot boilerplate
+    windows are exactly the AQE skew-join case d3 proves. Document text
+    never crosses an exchange."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(w) - (window - 1)
+    wins = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, window)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col).alias("id"), F.explode(wins).alias("win"))
+    freq = ex.groupBy("win").agg(F.count("*").alias("cnt"))
+    per = (
+        ex.join(freq, "win")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("cnt") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.coalesce(
+                F.round(F.col("n_dup") / F.col("n_windows"), 4), F.lit(0.0)
+            ).alias("dup_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

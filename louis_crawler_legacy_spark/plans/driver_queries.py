@@ -963,6 +963,48 @@ def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# D8 — exact duplicate-substring fraction (the Lee et al. suffix-array
+# dedup metric, relational form): per doc, the share of 10-word window
+# positions whose window string occurs ≥2× corpus-wide.
+@query(
+    "d8_dup_substring",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, win FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(w) - 9, 0)),
+                 i -> array_to_string(w[i:i+9], ' '))) AS win
+        FROM w
+      )
+    ), freq AS (
+      SELECT win, count(*) AS cnt FROM wins GROUP BY win
+    ), per AS (
+      SELECT wins.doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN f.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM wins JOIN freq f USING (win)
+      GROUP BY wins.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_windows, 0) AS n_windows,
+           coalesce(p.n_dup, 0) AS n_dup,
+           coalesce(round(p.n_dup::DOUBLE / p.n_windows, 4), 0.0)
+             AS dup_frac
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def d8_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from louis_crawler_legacy_spark.operators.dedup import dup_window_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_window_stats(d).withColumnRenamed("id", "doc_id")
+
+
 def _d5_oracle(nbits: int = 32, max_hamming: int = 3) -> str:
     """Exact DuckDB twin of simhash_pairs(hash_fn=poly_hash, nbits=32):
     the banded LSH blocking is exhaustive for max_hamming ≤ bands−1

@@ -202,3 +202,28 @@ def test_incremental_equals_cross_subset_of_full_run(spark, docs_df):
         assert (b, a) in inc, f"incremental missed planted ({b},{a})"
     # and no corpus x corpus / new x new pair leaked through
     assert all(n >= 1000 and c < 1000 for n, c in inc)
+
+
+def test_dup_window_stats_planted(spark, docs_df):
+    """Duplicate-substring fraction vs a brute-force Python twin on the
+    planted corpus: exact dup pairs (0,2000)/(1,2001) must be fully
+    duplicated (dup_frac 1.0), and every doc's counts must equal the
+    exact window-frequency computation."""
+    got = {r.id: (r.n_windows, r.n_dup, r.dup_frac)
+           for r in dedup.dup_window_stats(docs_df, window=10).collect()}
+
+    from collections import Counter
+    wins_of = {}
+    freq = Counter()
+    for i, t in DOCS:
+        w = t.split()
+        wins = [" ".join(w[j:j + 10]) for j in range(len(w) - 9)]
+        wins_of[i] = wins
+        freq.update(wins)
+    for i, _ in DOCS:
+        wins = wins_of[i]
+        n_dup = sum(1 for x in wins if freq[x] >= 2)
+        frac = round(n_dup / len(wins), 4) if wins else 0.0
+        assert got[i] == (len(wins), n_dup, frac), (i, got[i])
+    assert got[2000][2] == 1.0 and got[2001][2] == 1.0
+    assert got[0][2] == 1.0  # the source of an exact dup is itself 100% dup

@@ -35,8 +35,12 @@ _WS_RE = re.compile(r"\s+")
 
 def collapse_ws(s: str) -> str:
     """Reference whitespace normalization: re.sub(r'\\s+', ' ', s).strip()
-    (goldie.py:12,61; chunking.py:24)."""
-    return _WS_RE.sub(" ", s).strip()
+    (goldie.py:12,61; chunking.py:24). Implemented as split/join — CPython's
+    regex \\s and str.split() share the same Py_UNICODE_ISSPACE predicate,
+    so `' '.join(s.split())` is character-for-character identical to the
+    regex form (pinned by test_html) and ~3x faster on the ~75 KB pages the
+    crawl round cleans twice per page."""
+    return " ".join(s.split())
 
 
 class Node:

@@ -62,13 +62,18 @@ def _compute_tokens(block: Element, enc) -> dict:
     if "tokens" in block.attrs:
         text_content = block.attrs["text_content"]
         token_count = int(block.attrs["token_count"])
-        tokens = json.loads(block.attrs["tokens"])
+        tokens = block.attrs["tokens"]
+        if isinstance(tokens, str):  # fixture path: JSON-string attr in HTML
+            tokens = json.loads(tokens)
     else:
         text_content = collapse_ws(block.get_text())
         tokens = enc.encode(text_content)
         token_count = len(tokens)
-        block.attrs["tokens"] = json.dumps(tokens)
-        block.attrs["token_count"] = str(token_count)
+        # cache the list itself — these attrs never serialize back to HTML
+        # on the chunk path, and the json round-trip was pure overhead;
+        # pre-annotated fixtures still arrive as strings (guard above)
+        block.attrs["tokens"] = tokens
+        block.attrs["token_count"] = token_count
         block.attrs["text_content"] = text_content
     return {
         "text_content": text_content,
@@ -138,9 +143,17 @@ def _split_chunk_into_subchunks(large_chunk: dict, enc) -> list[dict]:
     (chunking.py:79-118)."""
     assert large_chunk["token_count"] > MAX_TOKENS
     sentences = large_chunk["text_content"].split(".")
+    # one tokenizer pass over the whole block when the encoder supports
+    # sep-aligned decomposition (StableHashEncoder.encode_split — bit-equal
+    # to the per-sentence loop, pinned by tests); other encoders (tiktoken)
+    # keep the per-sentence encode
+    splitter = getattr(enc, "encode_split", None)
+    if splitter is not None:
+        token_lists = splitter(large_chunk["text_content"], ".")
+    else:
+        token_lists = [enc.encode(s) for s in sentences]
     sentence_chunks = []
-    for sentence in sentences:
-        tokens = enc.encode(sentence)
+    for sentence, tokens in zip(sentences, token_lists):
         sentence_chunks.append(
             {
                 "text_content": sentence,

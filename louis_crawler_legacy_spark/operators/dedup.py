@@ -59,20 +59,41 @@ def duplicate_groups(df: DataFrame, key: Column, id_col: str = "doc_id") -> Data
 # shingles + n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+def bind_once(expr: Column, body) -> Column:
+    """Evaluate ``expr`` ONCE per row and bind it as a lambda variable
+    inside ``body(var)``.
+
+    Higher-order-function lambdas are interpreted (no whole-stage codegen,
+    no common-subexpression elimination), so an expression referenced
+    inside a lambda is re-evaluated on EVERY lambda invocation: the r05
+    shingles fold re-ran ``split(trim(text))`` for each of the n
+    element_at calls at every shingle position — O(words²) work per
+    document. Wrapping the array in a 1-element array and binding it via
+    transform makes the inner references plain lambda-variable lookups.
+    Pure plan rewrite: values are identical (pinned by the driver gate)."""
+    return F.get(F.transform(F.array(expr), body), 0)
+
+
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (native higher-order functions)."""
-    words = F.split(F.trim(text), r"\s+")
-    count = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)]
-        ),
-    )
-    # short texts (< n words): fall back to the whole text as one shingle
-    return F.when(count >= 1, F.array_distinct(grams)).otherwise(
-        F.array(F.trim(text))
-    )
+    """Distinct word n-gram shingles (native higher-order functions).
+    The split word array is bound once per row (bind_once) — the inner
+    element_at calls reference a lambda variable, not a re-evaluated
+    split subtree."""
+
+    def body(words: Column) -> Column:
+        count = F.size(words) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        )
+        # short texts (< n words): fall back to the whole text as one shingle
+        return F.when(count >= 1, F.array_distinct(grams)).otherwise(
+            F.array(F.trim(text))
+        )
+
+    return bind_once(F.split(F.trim(text), r"\s+"), body)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -271,13 +292,23 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     hash_fn=None,
     band_hash_fn=None,
+    materialize_sig: bool = True,
 ) -> DataFrame:
     """Banded-LSH candidate generation + signature-similarity verification.
 
     bands=16 over 64 perms → rows=4 → s-curve midpoint ≈ (1/16)^(1/4) ≈ 0.5.
     Output: (id_a, id_b, sim) where sim = fraction of equal minhashes.
     hash_fn / band_hash_fn (defaults: xxhash64) are injectable for the
-    SQL-portable oracle mode (see driver_queries d4)."""
+    SQL-portable oracle mode (see driver_queries d4).
+
+    materialize_sig (default on): localCheckpoint the (id, sig, bands)
+    table before the self-join. The join references it from BOTH sides and
+    AQE does NOT reuse the exchange here (verified empirically on Spark
+    4.1: the full scan→explode→64-min-aggregate subtree executed twice,
+    ~1.9x the runtime at sf0.1), so the signature pass runs ONCE and the
+    join reads the materialized longs. Identical results (checked row-set
+    equal); off for plan-shape inspection (tests) and for callers
+    composing further lazy transformations."""
     assert num_perm % bands == 0
     band_hash_fn = band_hash_fn or F.xxhash64
     rows_per_band = num_perm // bands
@@ -286,7 +317,10 @@ def minhash_lsh_pairs(
     # full band-hash array rides along so pair ownership can be decided
     # WITHOUT a dedup shuffle (min-band ownership below).
     band_arr = band_keys(F.col("sig"), bands, rows_per_band, band_hash_fn)
-    banded = sig.withColumn("bands", band_arr).select(
+    pre = sig.withColumn("bands", band_arr)
+    if materialize_sig:
+        pre = pre.localCheckpoint()
+    banded = pre.select(
         "id", "sig", "bands",
         F.posexplode(F.col("bands")).alias("band", "band_hash"),
     )
@@ -401,22 +435,34 @@ def dup_window_stats(
 
     Scale: explode emits one row per window POSITION (~tokens rows, the
     t5 class); the global frequency is ONE map-side-combined count, and
-    the membership join shuffles window keys only — hot boilerplate
-    windows are exactly the AQE skew-join case d3 proves. Document text
-    never crosses an exchange."""
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(w) - (window - 1)
-    wins = F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, window)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.col(id_col).alias("id"), F.explode(wins).alias("win"))
-    freq = ex.groupBy("win").agg(F.count("*").alias("cnt"))
+    the membership join shuffles 8-byte xxhash64 window KEYS only — never
+    the ~60-100-byte window strings (the r05 plan moved the raw strings
+    through both the frequency groupBy and the membership join, ~10-20x
+    the corpus text bytes; the hash key is ~1x). A 64-bit hash collision
+    would need two distinct windows with equal xxhash64 — probability
+    ~n²/2^65 corpus-wide (≪1 even at 10^12 windows), and its only effect
+    would be one window pair sharing a frequency count. Hot boilerplate
+    windows are exactly the AQE skew-join case d3 proves."""
+
+    def wins_body(w: Column) -> Column:
+        n = F.size(w) - (window - 1)
+        return F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(w, i, window)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    wins = bind_once(F.split(F.trim(F.col(text_col)), r"\s+"), wins_body)
+    # the window STRING dies in the post-explode projection: only its
+    # 8-byte hash reaches the shuffle
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(wins).alias("win")
+    ).select("id", F.xxhash64("win").alias("wh"))
+    freq = ex.groupBy("wh").agg(F.count("*").alias("cnt"))
     per = (
-        ex.join(freq, "win")
+        ex.join(freq, "wh")
         .groupBy("id")
         .agg(
             F.count("*").alias("n_windows"),
@@ -536,12 +582,15 @@ def simhash_pairs(
     bands: int = 4,
     nbits: int = 64,
     hash_fn=None,
+    materialize_sig: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on nbits/bands-bit bands
     (pigeonhole: a pair with hamming < bands shares at least one equal
     band, so for max_hamming ≤ bands−1 the banded candidates are EXACTLY
     all qualifying pairs — which is what makes the d5 oracle checkable),
-    verify with exact Hamming distance."""
+    verify with exact Hamming distance. materialize_sig: same self-join
+    double-compute fix as minhash_lsh_pairs (the nbits sign-aggregate
+    subtree otherwise executes once per join side)."""
     sh = simhash_signatures(df, id_col, text_col, nbits=nbits, hash_fn=hash_fn)
     bits_per_band = nbits // bands
     band_mask = (1 << bits_per_band) - 1
@@ -553,7 +602,10 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    banded = sh.withColumn("bands", band_arr).select(
+    pre = sh.withColumn("bands", band_arr)
+    if materialize_sig:
+        pre = pre.localCheckpoint()
+    banded = pre.select(
         "id", "sh", "bands",
         F.posexplode(F.col("bands")).alias("band", "band_val"),
     )

@@ -88,12 +88,16 @@ def decode_media(
     return df.select(id_col, blob_col).mapInPandas(gen, schema=schema)
 
 
-def fake_resize(payload: bytes, target_w: int, target_h: int) -> tuple:
+def fake_resize(payload: bytes, target_w: int, target_h: int,
+                meta: dict | None = None) -> tuple:
     """Deterministic fake 'resize': fit the fake-decoded (w, h) into the
     target box preserving aspect (never upscale), thumbnail payload =
     proportional prefix of the input. Pure IEEE-double arithmetic so the
-    DuckDB oracle reproduces it bit-for-bit."""
-    meta = fake_decode(payload)
+    DuckDB oracle reproduces it bit-for-bit. ``meta`` lets a caller that
+    already decoded the payload skip the second decode (resize_media's
+    hot loop decoded every blob twice before r06)."""
+    if meta is None:
+        meta = fake_decode(payload)
     w, h = meta["width"], meta["height"]
     scale = min(target_w / w, target_h / h, 1.0)
     out_w = max(1, int(w * scale))
@@ -137,7 +141,7 @@ def resize_media(
             for i, p in zip(pdf[id_col], pdf[blob_col]):
                 p = bytes(p)
                 meta = fake_decode(p)
-                ow, oh, thumb = fake_resize(p, target_w, target_h)
+                ow, oh, thumb = fake_resize(p, target_w, target_h, meta=meta)
                 rows.append(
                     (i, meta["width"], meta["height"], ow, oh, len(thumb),
                      thumb)

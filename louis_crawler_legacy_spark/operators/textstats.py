@@ -170,16 +170,24 @@ def dup_word_frac(text: Column) -> Column:
 
 def bigrams_col(text: Column) -> Column:
     """Word 2-grams in order, NON-distinct (frequency matters here, unlike
-    dedup.shingles). <2-word texts → empty array."""
-    w = words_col(text)
-    n = F.size(w) - 1
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-    )
-    return F.when(n >= 1, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    dedup.shingles). <2-word texts → empty array. The word array is bound
+    once per row (dedup.bind_once) — HOF lambdas are interpreted, so the
+    r05 form re-split the text at every element_at call (O(words²))."""
+    from louis_crawler_legacy_spark.operators.dedup import bind_once
+
+    def body(w: Column) -> Column:
+        n = F.size(w) - 1
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        )
+        return F.when(n >= 1, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(words_col(text), body)
 
 
 def repetition_stats(

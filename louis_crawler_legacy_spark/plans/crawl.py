@@ -1137,13 +1137,37 @@ class CrawlEngine:
         else:
             batch_side = F.broadcast(batch) if cfg.broadcast_batch else batch
             hits = self.corpus.drop("host").join(batch_side, "url", "inner")
+            # misses = batch ∖ hits.urls ≡ batch ∖ corpus.urls (hits.url is
+            # exactly batch ∩ corpus by the inner join above). The r05 form
+            # anti-joined against corpus.select(url), which re-built a
+            # corpus-sized URL broadcast EVERY round (600k rows ≈ tens of
+            # MB at bench scale; O(corpus) at production) — the hit set is
+            # ≤ batch rows and its broadcast build scans the cached corpus
+            # column-pruned once, so the per-round broadcast is O(batch).
+            hit_urls = hits.select("url")
+            if cfg.broadcast_batch:
+                hit_urls = F.broadcast(hit_urls)
             misses = (
-                batch.join(self.corpus.select("url"), "url", "left_anti")
+                batch.join(hit_urls, "url", "left_anti")
                 .withColumn("status", F.lit(None).cast("int"))
                 .withColumn("html", F.lit(None).cast("string"))
             )
-            fetched_raw = hits.unionByName(misses).withColumn(
-                "requested_url", F.col("url")
+            # coalesce the fetch-join output to one partition per core:
+            # the union inherits corpus_parts (4x cores — sized for the
+            # r05 extraction at ~35 ms/page) plus the misses side, so a
+            # ≤batch-size round ran EVERY downstream stage (extract count,
+            # candidate window map side, seen_add, the three output
+            # appends) as 130-260 mostly-empty tasks. Extraction is now
+            # ~1 ms/page (memoized tokenizer + split/join collapse), so
+            # per-task skew no longer needs 4x over-partitioning and the
+            # per-stage scheduling overhead dominates. coalesce is NARROW
+            # (no shuffle, html never moves; the coalescer groups parent
+            # partitions by location) and scale-adaptive — one partition
+            # per core at any cluster size, never fewer tasks than cores.
+            fetched_raw = (
+                hits.unionByName(misses)
+                .coalesce(self.spark.sparkContext.defaultParallelism)
+                .withColumn("requested_url", F.col("url"))
             )
         fetched = fetched_raw.withColumn(
             "success", F.col("status").isNotNull() & (F.col("status") < 400)

@@ -50,11 +50,52 @@ def test_o3_topk_no_global_sort(spark):
 
 
 def test_minhash_single_aggregate(spark):
-    plan = plan_of(spark, "d4_minhash_lsh")
+    # inspect the UNMATERIALIZED plan (materialize_sig=False): the default
+    # path localCheckpoints the signature table, which truncates the
+    # visible lineage (see test_minhash_sig_materialized_once below)
+    from louis_crawler_legacy_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = minhash_lsh_pairs(df, threshold=0.3, materialize_sig=False)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
     # the signature must be ONE hash aggregate (partial+final), not 64
     # separate passes; generator explode feeds it
     assert "Generate" in plan  # explode of shingles feeds the aggregate
     assert "HashAggregate" in plan
+    assert "partial_min" in plan  # map-side combine below the exchange
+
+
+def test_minhash_sig_materialized_once(spark):
+    """r06: the LSH self-join reads the signature table from BOTH sides
+    and AQE does not reuse the exchange — the default path must therefore
+    materialize (localCheckpoint) the signatures so the 64-min aggregate
+    runs ONCE: no aggregate may remain in the returned join plan."""
+    plan = plan_of(spark, "d4_minhash_lsh")
+    assert "partial_min" not in plan  # sig agg already ran, not re-planned
+    assert "Scan ExistingRDD" in plan  # both sides read the checkpoint
+
+
+def test_d8_shuffles_window_hashes_not_strings(spark):
+    """r06: d8's frequency groupBy and membership join must key on the
+    8-byte xxhash64 of the window, never the raw 10-word window STRING
+    (~60-100 bytes/position ≈ 10-20x corpus text bytes at the 100 TB
+    design point). Every Exchange input must be hash/count columns only."""
+    import re
+
+    plan = plan_of(spark, "d8_dup_substring")
+    assert "xxhash64" in plan
+    for b in re.split(r"\n\n", plan):
+        if re.search(r"\(\d+\) Exchange", b):
+            assert not re.search(r"\bwin#", b), (
+                f"window string crossed an exchange:\n{b}"
+            )
+            assert not re.search(r"\btext#", b), (
+                f"text crossed an exchange:\n{b}"
+            )
 
 
 def test_d7_incremental_signatures_only_text_never_shuffles(spark):

@@ -76,8 +76,16 @@ def connected_components(
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).where(F.col("u") != F.col("v"))
-    # undirected: propagate both ways
-    bidir = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # undirected: propagate both ways. MATERIALIZE the edge list once
+    # (r06): `e` is referenced twice by the union and `bidir` is joined on
+    # EVERY iteration — without the checkpoint the caller's whole pair-
+    # generation subtree (for d6/c3 that is the blocked n-gram-Jaccard
+    # self-join) re-executed 2x per iteration x O(log diameter) iterations.
+    # Identical results; at scale the edge list is O(E) longs, the same
+    # rows the loop shuffles anyway.
+    bidir = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
 
     if nodes is not None:
         node_ids = nodes.select(F.col(id_col).alias("id")).distinct()

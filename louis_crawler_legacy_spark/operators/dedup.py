@@ -499,12 +499,18 @@ def poly_hash(col: Column, mod: int = 1_000_000_007) -> Column:
     can compute this (DuckDB: list_reduce over generate_series + ascii).
     ~30 bits — pair it with nbits=32 SimHash. The engine default stays
     xxhash64/64-bit; this exists so the driver gate can check SimHash
-    values exactly instead of rows-only."""
+    values exactly instead of rows-only.
+
+    r06: folds over split(col, '') — one O(len) char-array materialization
+    — instead of the r05 substr(col, i, 1) indexed fold, whose per-index
+    UTF-8 scan made each hash O(len²) (d5/d7's oracle-mode runs were
+    dominated by it). Values identical for every string incl. empty /
+    non-ASCII (split('') on '' yields an empty array → acc stays 0, which
+    equals the old sequence(1,1)+ascii(NULL→0) fold; pinned by test)."""
     return F.aggregate(
-        F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1))),
+        F.split(col, ""),
         F.lit(0).cast("long"),
-        lambda acc, i: (acc * 31 + F.coalesce(F.ascii(col.substr(i, F.lit(1))), F.lit(0)))
-        % mod,
+        lambda acc, c: (acc * 31 + F.coalesce(F.ascii(c), F.lit(0))) % mod,
     )
 
 

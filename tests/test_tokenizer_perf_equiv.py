@@ -80,6 +80,35 @@ def test_encode_split_equals_per_sentence_encode():
         assert enc.encode_split(t, ".") == expected
 
 
+def test_poly_hash_split_fold_equals_substr_fold(spark):
+    """r06: poly_hash folds over split(col, '') (O(len)) instead of the
+    substr(col, i, 1) indexed fold (O(len²) — per-index UTF-8 scan). The
+    values must be identical for every string, including the empty string
+    (empty array fold ≡ the old 1-element sequence with ascii(NULL)→0)."""
+    from pyspark.sql import functions as F
+
+    from louis_crawler_legacy_spark.operators.dedup import poly_hash
+
+    def poly_hash_r05(col, mod=1_000_000_007):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1))),
+            F.lit(0).cast("long"),
+            lambda acc, i: (
+                acc * 31
+                + F.coalesce(F.ascii(col.substr(i, F.lit(1))), F.lit(0))
+            )
+            % mod,
+        )
+
+    rows = [("",), ("a",), ("abc def",), ("éàç 漢字",), ("x" * 200,),
+            (" lead trail ",), ("tab\tand\nnl",), ("punct!?.,;",)]
+    df = spark.createDataFrame(rows, ["s"])
+    bad = df.select(
+        (poly_hash(F.col("s")) == poly_hash_r05(F.col("s"))).alias("eq")
+    ).where(~F.col("eq")).count()
+    assert bad == 0
+
+
 def test_collapse_ws_equals_regex_form():
     ws_re = re.compile(r"\s+")
     rng = random.Random(5)

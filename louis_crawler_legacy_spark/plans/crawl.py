@@ -286,6 +286,15 @@ class CrawlConfig:
     # whenever the state it was computed from is replaced (resume, expire,
     # rollback, bootstrap).
     prefetch_batch: bool = True
+    # corpus-mode fetch-output partition sizing: the join output coalesces
+    # to max(cores, n_batch / fetch_rows_per_part) partitions — one per
+    # core for scheduling efficiency (extraction is ~1 ms/page since r06),
+    # but never more than ~fetch_rows_per_part wide-html rows per task, so
+    # a big batch on a small executor (ladder's local-cluster[1,2] at
+    # batch 32k) cannot pack GBs of page rows into one cache partition
+    # (measured: BytesToBytesMap allocation failure at 8 GiB without the
+    # bound). 2048 rows ≈ 4 Arrow batches ≈ ~150 MB at bench page weight.
+    fetch_rows_per_part: int = 2048
     # ceiling on how many rounds the background seen/bloom merges may lag
     # behind the round loop before _poll_state blocks on the oldest chain
     # entries. Each uncovered round is one more delta plan the candidate
@@ -1162,11 +1171,16 @@ class CrawlEngine:
             # per-task skew no longer needs 4x over-partitioning and the
             # per-stage scheduling overhead dominates. coalesce is NARROW
             # (no shuffle, html never moves; the coalescer groups parent
-            # partitions by location) and scale-adaptive — one partition
-            # per core at any cluster size, never fewer tasks than cores.
+            # partitions by location) and scale-adaptive: one partition
+            # per core, with a fetch_rows_per_part floor so per-task html
+            # bytes stay bounded on small executors (see CrawlConfig).
+            fetch_parts = max(
+                self.spark.sparkContext.defaultParallelism,
+                -(-n_batch // cfg.fetch_rows_per_part),
+            )
             fetched_raw = (
                 hits.unionByName(misses)
-                .coalesce(self.spark.sparkContext.defaultParallelism)
+                .coalesce(fetch_parts)
                 .withColumn("requested_url", F.col("url"))
             )
         fetched = fetched_raw.withColumn(

@@ -198,9 +198,15 @@ def repetition_stats(
     2-gram / total 2-grams (0.0 for <2-word docs).
 
     Scale: the (id, gram) count aggregate is map-side combined — the
-    shuffle carries partial counts, not one row per token position; the
-    per-doc max/sum reuses the same hash-partitioning on id, and the
-    final join back to the doc spine is keyed by id only (no text moves).
+    shuffle carries partial counts, not one row per token position — and
+    is keyed on (id, xxhash64(gram)): per-doc bigrams are mostly unique,
+    so partial aggregation barely compacts them and the r05 plan moved
+    the raw gram strings (~corpus text bytes) through the exchange; the
+    8-byte hash is ~1x the id column instead (the d8 argument — a 64-bit
+    collision WITHIN one document would merge two bigrams' counts,
+    probability ~k²/2^65 per doc, ≪1 at any document size). The per-doc
+    max/sum reuses the same hash-partitioning on id, and the final join
+    back to the doc spine is keyed by id only (no text moves).
     """
     base = df.select(
         F.col(id_col).alias("id"),
@@ -209,7 +215,8 @@ def repetition_stats(
     )
     counts = (
         base.select("id", F.explode("grams").alias("g"))
-        .groupBy("id", "g")
+        .select("id", F.xxhash64("g").alias("gh"))
+        .groupBy("id", "gh")
         .agg(F.count("*").alias("c"))
     )
     per_doc = counts.groupBy("id").agg(

@@ -188,6 +188,11 @@ def test_t6_repetition_partial_agg_no_text_in_exchange(spark):
     for b in re.split(r"\n\n", plan):
         if re.search(r"\(\d+\) Exchange", b):
             assert not re.search(r"\btext#", b), f"text crossed an exchange:\n{b}"
+            # r06: the count keys on xxhash64(gram) — the raw bigram
+            # string must not cross the exchange either
+            assert not re.search(r"\bg#", b), (
+                f"gram string crossed an exchange:\n{b}"
+            )
 
 
 def test_c4_eval_broadcasts_corpus_never_shuffles_text(spark):

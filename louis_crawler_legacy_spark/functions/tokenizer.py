@@ -66,6 +66,55 @@ class StableHashEncoder:
             out.extend(ids)
         return out
 
+    def encode_with_breaks(
+        self, text: str, sep: str
+    ) -> tuple[list[int], list[tuple[int, int]]]:
+        """One pass returning BOTH ``encode(text)`` and the sentence spans.
+
+        ``flat, spans = encode_with_breaks(text, sep)`` satisfies
+        ``flat == encode(text)`` and
+        ``[flat[s:e] for s, e in spans] == [encode(p) for p in
+        text.split(sep)]`` (same sep-as-own-piece argument as encode_split;
+        both equalities pinned by test). This exists for the chunker's
+        >512-token blocks, which previously tokenized the same text twice —
+        once whole for the size decision, once sentence-split for bucket
+        packing; the combined pass halves the tokenizer work on that path.
+        Cost on the flat path is one extra ``piece == sep`` comparison per
+        piece, so callers with blocks that cannot need splitting (token
+        count ≤ len(text) ≤ 512) should keep plain encode()."""
+        assert len(sep) == 1 and not sep.isalnum() and not sep.isspace()
+        memo = self._memo
+        memo_get = memo.get
+        out: list[int] = []
+        spans: list[tuple[int, int]] = []
+        start = 0
+        for piece in _PIECE_RE.findall(text):
+            ids = memo_get(piece)
+            if ids is None:
+                lowered = piece.lower()
+                ids = [
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            lowered[i : i + _WINDOW].encode("utf-8"),
+                            digest_size=8,
+                        ).digest(),
+                        "big",
+                    )
+                    % _VOCAB
+                    for i in range(0, len(lowered), _WINDOW)
+                ]
+                if len(memo) >= self._MEMO_MAX:
+                    memo.clear()
+                memo[piece] = ids
+            if piece == sep:
+                spans.append((start, len(out)))
+                out.extend(ids)
+                start = len(out)
+            else:
+                out.extend(ids)
+        spans.append((start, len(out)))
+        return out, spans
+
     def encode_split(self, text: str, sep: str) -> list[list[int]]:
         """Token lists for ``text.split(sep)`` in ONE regex pass.
 

@@ -67,7 +67,19 @@ def _compute_tokens(block: Element, enc) -> dict:
             tokens = json.loads(tokens)
     else:
         text_content = collapse_ws(block.get_text())
-        tokens = enc.encode(text_content)
+        # a token always consumes ≥1 character, so token_count ≤ len(text):
+        # a block at ≤ MAX_TOKENS chars can never take the sentence-split
+        # path and keeps the plain (cheapest) encode. Longer blocks use the
+        # combined pass so a >512-token block is tokenized ONCE — the spans
+        # (cached on the block like the token list) let the split path slice
+        # per-sentence token lists out of the flat list instead of
+        # re-tokenizing the whole text.
+        breaks_fn = getattr(enc, "encode_with_breaks", None)
+        if breaks_fn is not None and len(text_content) > MAX_TOKENS:
+            tokens, sent_spans = breaks_fn(text_content, ".")
+            block.attrs["sent_spans"] = sent_spans
+        else:
+            tokens = enc.encode(text_content)
         token_count = len(tokens)
         # cache the list itself — these attrs never serialize back to HTML
         # on the chunk path, and the json round-trip was pure overhead;
@@ -138,20 +150,27 @@ def group_heading_by_block(soup: Soup) -> None:
         _mark_parent(parent_div.parent)
 
 
-def _split_chunk_into_subchunks(large_chunk: dict, enc) -> list[dict]:
+def _split_chunk_into_subchunks(
+    large_chunk: dict, enc, sent_spans: list[tuple[int, int]] | None = None
+) -> list[dict]:
     """Sentence-split + first-fit bucket packing at the 409 target
     (chunking.py:79-118)."""
     assert large_chunk["token_count"] > MAX_TOKENS
     sentences = large_chunk["text_content"].split(".")
-    # one tokenizer pass over the whole block when the encoder supports
-    # sep-aligned decomposition (StableHashEncoder.encode_split — bit-equal
-    # to the per-sentence loop, pinned by tests); other encoders (tiktoken)
-    # keep the per-sentence encode
-    splitter = getattr(enc, "encode_split", None)
-    if splitter is not None:
-        token_lists = splitter(large_chunk["text_content"], ".")
+    # zero extra tokenizer passes when _compute_tokens already recorded the
+    # sentence spans (encode_with_breaks): per-sentence token lists are
+    # slices of the block's flat token list (bit-equal, pinned by test).
+    # Otherwise one encode_split pass (sep-aligned decomposition); other
+    # encoders (tiktoken) keep the per-sentence encode.
+    if sent_spans is not None:
+        tokens = large_chunk["tokens"]
+        token_lists = [tokens[s:e] for s, e in sent_spans]
     else:
-        token_lists = [enc.encode(s) for s in sentences]
+        splitter = getattr(enc, "encode_split", None)
+        if splitter is not None:
+            token_lists = splitter(large_chunk["text_content"], ".")
+        else:
+            token_lists = [enc.encode(s) for s in sentences]
     sentence_chunks = []
     for sentence, tokens in zip(sentences, token_lists):
         sentence_chunks.append(
@@ -246,7 +265,11 @@ def segment_blocks_into_chunks(blocks: list[Element], enc) -> list[dict]:
                 _collect_chunks_from_block(block, 0, collected, enc)
                 all_chunks.append(_combine_chunks(collected))
         else:
-            all_chunks.extend(_split_chunk_into_subchunks(chunk, enc))
+            all_chunks.extend(
+                _split_chunk_into_subchunks(
+                    chunk, enc, sent_spans=block.attrs.get("sent_spans")
+                )
+            )
             _mark_processed(block)
     return all_chunks
 

@@ -80,6 +80,59 @@ def test_encode_split_equals_per_sentence_encode():
         assert enc.encode_split(t, ".") == expected
 
 
+def test_encode_with_breaks_equals_encode_and_split():
+    """The combined pass must reproduce BOTH folds exactly: the flat list
+    is encode(text), and the span slices are the per-sentence lists."""
+    enc = StableHashEncoder()
+    for t in _texts():
+        flat, spans = enc.encode_with_breaks(t, ".")
+        assert flat == enc.encode(t)
+        assert [flat[s:e] for s, e in spans] == [
+            enc.encode(s) for s in t.split(".")
+        ]
+        assert len(spans) == len(t.split("."))
+
+
+def test_encode_with_breaks_overflow_path_is_value_identical():
+    old_max = StableHashEncoder._MEMO_MAX
+    try:
+        StableHashEncoder._MEMO_MAX = 3  # force clears every few pieces
+        StableHashEncoder._memo.clear()
+        enc = StableHashEncoder()
+        t = "alpha beta. gamma delta. epsilon zeta alpha. beta gamma!."
+        flat, spans = enc.encode_with_breaks(t, ".")
+        assert flat == _reference_encode(t)
+        assert [flat[s:e] for s, e in spans] == [
+            _reference_encode(s) for s in t.split(".")
+        ]
+    finally:
+        StableHashEncoder._MEMO_MAX = old_max
+        StableHashEncoder._memo.clear()
+
+
+def test_chunker_split_path_spans_equal_fallback_chunks():
+    """chunk_html output for a >512-token multi-sentence doc must be
+    IDENTICAL whether the split path slices cached sent_spans (the r06
+    combined pass) or re-tokenizes via encode_split (the fallback)."""
+    import random
+
+    from louis_crawler_legacy_spark.operators import chunking
+
+    class NoBreaksEncoder(StableHashEncoder):
+        encode_with_breaks = None  # force the encode_split fallback
+
+    rng = random.Random(7)
+    body = " ".join(
+        f"w{rng.randint(0, 400)}" + ("." if i % 13 == 12 else "")
+        for i in range(2500)
+    )
+    html = f"<html><head><title>T</title></head><body><p>{body}</p></body></html>"
+    fast = chunking.chunk_html(html, StableHashEncoder())
+    slow = chunking.chunk_html(html, NoBreaksEncoder())
+    assert len(fast) > 1  # the split path actually ran
+    assert fast == slow
+
+
 def test_poly_hash_split_fold_equals_substr_fold(spark):
     """r06: poly_hash folds over split(col, '') (O(len)) instead of the
     substr(col, i, 1) indexed fold (O(len²) — per-index UTF-8 scan). The
